@@ -1,0 +1,83 @@
+"""Limb encoding for 254-bit field elements on TPU.
+
+Design: a field element is a little-endian vector of 16 limbs of 16 bits,
+stored in ``uint32`` lanes.  This is the TPU-native replacement for the
+reference's 4x64-bit representation (rust-rapidsnark fr.hpp/fq.hpp): the VPU
+has no 64-bit integer datapath, but 16-bit limb products fit *exactly* in a
+uint32 multiply, so schoolbook/Montgomery products decompose into exact
+lo/hi-split column sums with huge (2^31 / 2^22) overflow headroom.
+
+All conversion helpers here are host-side (numpy); device code lives in
+jax_field.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LIMB_BITS = 16
+NUM_LIMBS = 16
+LIMB_MASK = (1 << LIMB_BITS) - 1
+ELEM_BITS = LIMB_BITS * NUM_LIMBS  # 256
+
+
+def int_to_limbs(x: int, num_limbs: int = NUM_LIMBS) -> np.ndarray:
+    """Encode a non-negative int as little-endian 16-bit limbs in uint32."""
+    if x < 0 or x >= (1 << (LIMB_BITS * num_limbs)):
+        raise ValueError(f"value out of range for {num_limbs} limbs")
+    out = np.empty((num_limbs,), dtype=np.uint32)
+    for i in range(num_limbs):
+        out[i] = x & LIMB_MASK
+        x >>= LIMB_BITS
+    return out
+
+
+def limbs_to_int(limbs: np.ndarray) -> int:
+    """Decode little-endian limbs (any ndarray of ints) into a python int."""
+    x = 0
+    for i in reversed(range(limbs.shape[-1])):
+        x = (x << LIMB_BITS) | int(limbs[..., i])
+    return x
+
+
+def ints_to_limbs(xs, num_limbs: int = NUM_LIMBS) -> np.ndarray:
+    """Vector encode: list of ints -> (n, num_limbs) uint32."""
+    xs = list(xs)
+    out = np.empty((len(xs), num_limbs), dtype=np.uint32)
+    for i, x in enumerate(xs):
+        out[i] = int_to_limbs(x, num_limbs)
+    return out
+
+
+def limbs_to_ints(arr: np.ndarray) -> list[int]:
+    """Vector decode: (..., num_limbs) -> flat list of ints (C order)."""
+    arr = np.asarray(arr)
+    flat = arr.reshape(-1, arr.shape[-1]).astype(object)
+    weights = np.array([1 << (LIMB_BITS * i) for i in range(arr.shape[-1])], dtype=object)
+    return list(flat @ weights)
+
+
+def bytes_le_to_limbs(buf: bytes | np.ndarray, n_bytes_per_elem: int = 32) -> np.ndarray:
+    """Bulk convert little-endian fixed-width byte records to limb arrays.
+
+    This is the host-side fast path for zkey/wtns ingestion (each record is an
+    n8=32-byte LE integer, see reference zkey_utils.hpp:62-70): vectorized as
+    a uint8 -> uint16-pair view, no per-element python loop.
+    """
+    raw = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else buf
+    assert raw.size % n_bytes_per_elem == 0
+    n = raw.size // n_bytes_per_elem
+    u8 = raw.reshape(n, n_bytes_per_elem)
+    lo = u8[:, 0::2].astype(np.uint32)
+    hi = u8[:, 1::2].astype(np.uint32)
+    return lo | (hi << 8)
+
+
+def limbs_to_bytes_le(arr: np.ndarray) -> bytes:
+    """Inverse of bytes_le_to_limbs for (n, L) uint32 limb arrays."""
+    arr = np.asarray(arr, dtype=np.uint32)
+    n, L = arr.shape
+    u8 = np.empty((n, 2 * L), dtype=np.uint8)
+    u8[:, 0::2] = arr & 0xFF
+    u8[:, 1::2] = (arr >> 8) & 0xFF
+    return u8.tobytes()
