@@ -1,0 +1,233 @@
+"""Multi-scalar multiplication (Pippenger) for TPU.
+
+Replaces the reference's TBB bucket MSM (rust-rapidsnark/rapidsnark/src/
+multiexp.cpp:182-245: per-thread bucket privatization + tree merge) with a
+design built for a SIMD machine with no atomics:
+
+1. **digits**: scalars (standard form, 16x16-bit limbs) are split into
+   ceil(254/c) unsigned c-bit windows, all extracted at once by limb shifts;
+2. **sort**: per window, point indices are sorted by digit so each bucket's
+   points are contiguous (replaces the reference's racy scatter: sorted
+   segments are race-free by construction, cf. SURVEY §2.4 P3/P4);
+3. **chunk scan**: the sorted stream is cut into V lanes x L steps; each of
+   the L sequential steps performs one V-wide *batched* mixed EC add of the
+   next element of every lane into its running accumulator, emitting a
+   finished bucket sum (a run that ends inside the chunk) via a V-wide
+   scatter. Work: exactly n mixed adds per window — the Pippenger optimum —
+   at full vector width.
+4. **boundary merge**: runs that span chunk boundaries produce <=2V partials
+   whose keys are sorted; a log-step segmented suffix scan merges them and
+   scatters the totals into the bucket table (leader lanes only).
+5. **weighted bucket reduction**: sum_b b*B_b is computed as
+   sum_{b>=1} SuffixSum_b with a log-step (Hillis-Steele) suffix scan —
+   the vectorized equivalent of the reference's sequential running-sum
+   (multiexp.cpp:132-180).
+6. **horner over windows**: acc = 2^c * acc + W_w with c batched doublings.
+
+Digit-0 entries are mapped to the point at infinity, so padding and zero
+scalars need no special casing anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..curves.jacobian import JacobianCurve, JacPoint
+from ..fields.limbs import LIMB_BITS, NUM_LIMBS
+
+SCALAR_BITS = 254
+
+
+def extract_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(n, 16) u32 standard-form scalars -> (n_windows, n) int32 c-bit digits."""
+    n_windows = -(-SCALAR_BITS // c)
+    outs = []
+    mask = jnp.uint32((1 << c) - 1)
+    for w in range(n_windows):
+        lo = w * c
+        li, off = lo // LIMB_BITS, lo % LIMB_BITS
+        d = scalars[:, li] >> off
+        if off + c > LIMB_BITS and li + 1 < NUM_LIMBS:
+            d = d | (scalars[:, li + 1] << (LIMB_BITS - off))
+        if off + c > 2 * LIMB_BITS and li + 2 < NUM_LIMBS:  # c > 16 never hits this
+            d = d | (scalars[:, li + 2] << (2 * LIMB_BITS - off))
+        outs.append((d & mask).astype(jnp.int32))
+    return jnp.stack(outs)
+
+
+def _segmented_suffix_totals(keys: jnp.ndarray, pts: JacPoint, curve: JacobianCurve):
+    """Inclusive segmented suffix sums over a key-sorted point sequence.
+
+    After the scan, the first (leader) position of every equal-key segment
+    holds the segment total. Returns (totals, leader_mask).
+    """
+    m = keys.shape[0]
+    steps = max(m - 1, 1).bit_length()
+    acc = pts
+    for s in range(steps):
+        sh = 1 << s
+        shifted = jax.tree.map(lambda a: jnp.roll(a, -sh, axis=0), acc)
+        same = jnp.roll(keys, -sh) == keys
+        # positions within `sh` of the end have no valid partner
+        idx = jnp.arange(m)
+        valid = same & (idx < m - sh)
+        acc = curve.select(valid, curve.add(acc, JacPoint(*shifted)), acc)
+    leader = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
+    return acc, leader
+
+
+@functools.partial(
+    jax.jit, static_argnames=("curve", "c", "lanes")
+)
+def msm(
+    points_x: jnp.ndarray,
+    points_y: jnp.ndarray,
+    points_inf: jnp.ndarray,
+    scalars: jnp.ndarray,
+    *,
+    curve: JacobianCurve,
+    c: int = 13,
+    lanes: int = 1 << 12,
+) -> JacPoint:
+    """sum_i scalars[i] * P_i.  Points affine (Montgomery), scalars standard.
+
+    Returns a single Jacobian point (batch shape ()).
+    """
+    f = curve.ops
+    n = scalars.shape[0]
+    V = min(lanes, max(1, n))
+    L = -(-n // V)
+    pad = V * L - n
+
+    digits_all = extract_digits(scalars, c)  # (W, n)
+    n_windows = digits_all.shape[0]
+    n_buckets = 1 << c
+
+    def window_sum(digits):
+        order = jnp.argsort(digits)
+        keys = jnp.take(digits, order)
+        px = jnp.take(points_x, order, axis=0)
+        py = jnp.take(points_y, order, axis=0)
+        pinf = jnp.take(points_inf, order, axis=0) | (keys == 0)
+        if pad:
+            keys = jnp.concatenate([jnp.full((pad,), -1, keys.dtype), keys])
+            # pad with (inf) points at front, keyed -1 so they sort-stable ahead;
+            # we padded *after* sorting, so prepend instead (keys stay sorted)
+            px = jnp.concatenate([jnp.zeros((pad, *px.shape[1:]), px.dtype), px])
+            py = jnp.concatenate([jnp.zeros((pad, *py.shape[1:]), py.dtype), py])
+            pinf = jnp.concatenate([jnp.ones((pad,), bool), pinf])
+        keys = keys.reshape(V, L)
+        px = px.reshape(V, L, *px.shape[1:])
+        py = py.reshape(V, L, *py.shape[1:])
+        pinf = pinf.reshape(V, L)
+
+        # bucket table with a dump slot at index n_buckets
+        buckets = curve.infinity((n_buckets + 1,))
+        DUMP = n_buckets
+
+        def seed(_):
+            acc0 = curve.from_affine(px[:, 0], py[:, 0], pinf[:, 0])
+            return (
+                keys[:, 0],  # cur_key
+                acc0,  # acc
+                jnp.ones((V,), bool),  # is_head
+                jnp.full((V,), -2, keys.dtype),  # head_key (-2: none yet)
+                curve.infinity((V,)),  # head_point
+                buckets,
+            )
+
+        def step(t, state):
+            cur_key, acc, is_head, head_key, head_pt, bk = state
+            k = jax.lax.dynamic_index_in_dim(keys, t, axis=1, keepdims=False)
+            x = jax.lax.dynamic_index_in_dim(px, t, axis=1, keepdims=False)
+            y = jax.lax.dynamic_index_in_dim(py, t, axis=1, keepdims=False)
+            pi = jax.lax.dynamic_index_in_dim(pinf, t, axis=1, keepdims=False)
+            same = k == cur_key
+            emit = ~same
+            # route finished run: head runs park in head_*, interior runs scatter
+            to_head = emit & is_head
+            head_key = jnp.where(to_head, cur_key, head_key)
+            head_pt = curve.select(to_head, acc, head_pt)
+            to_bucket = emit & ~is_head
+            idx = jnp.where(to_bucket, cur_key, DUMP)
+            bk = JacPoint(
+                bk.x.at[idx].set(acc.x),
+                bk.y.at[idx].set(acc.y),
+                bk.z.at[idx].set(acc.z),
+            )
+            is_head = is_head & same
+            fresh = curve.from_affine(x, y, pi)
+            grown = curve.add_mixed(acc, x, y, pi)
+            acc = curve.select(same, grown, fresh)
+            cur_key = k
+            return cur_key, acc, is_head, head_key, head_pt, bk
+
+        cur_key, acc, is_head, head_key, head_pt, buckets = jax.lax.fori_loop(
+            1, L, step, seed(None)
+        )
+
+        # final run of each lane: if the chunk was a single run it is a head,
+        # otherwise a tail.
+        tail_key = jnp.where(is_head, -1, cur_key)
+        tail_pt = curve.select(is_head, curve.infinity((V,)), acc)
+        head_key = jnp.where(is_head, cur_key, head_key)
+        head_pt = curve.select(is_head, acc, head_pt)
+
+        # boundary sequence in global sorted order: head_0, tail_0, head_1, ...
+        bkeys = jnp.stack([head_key, tail_key], axis=1).reshape(2 * V)
+        bpts = jax.tree.map(
+            lambda h, t: jnp.stack([h, t], axis=1).reshape(2 * V, *h.shape[1:]),
+            head_pt,
+            tail_pt,
+        )
+        bpts = JacPoint(*bpts)
+        # fill sentinel keys (-1/-2) with the previous real key so equal-key
+        # runs are contiguous; their points are infinity, so they add nothing.
+        bkeys = jax.lax.cummax(bkeys)
+        totals, leader = _segmented_suffix_totals(bkeys, bpts, curve)
+        idx = jnp.where(leader & (bkeys > 0), bkeys, DUMP)
+        buckets = JacPoint(
+            buckets.x.at[idx].set(totals.x),
+            buckets.y.at[idx].set(totals.y),
+            buckets.z.at[idx].set(totals.z),
+        )
+
+        # weighted reduction: sum_b b*B_b = sum_{b>=1} SuffixSum_b
+        bk = jax.tree.map(lambda a: a[:n_buckets], buckets)
+        bk = JacPoint(*bk)
+        m = n_buckets
+        suf = bk
+        s = 1
+        while s < m:
+            shifted = jax.tree.map(lambda a: jnp.roll(a, -s, axis=0), suf)
+            valid = jnp.arange(m) < m - s
+            suf = curve.select(valid, curve.add(suf, JacPoint(*shifted)), suf)
+            s <<= 1
+        # now suf[b] = sum_{b'>=b} B_b'; total = sum_{b>=1} suf[b]
+        seg = jax.tree.map(lambda a: a[1:], suf)
+        seg = JacPoint(*seg)
+        m2 = m - 1
+        while m2 > 1:
+            half = (m2 + 1) // 2
+            top = jax.tree.map(lambda a: a[half:m2], seg)
+            lo = jax.tree.map(lambda a: a[:half], seg)
+            lo, top = JacPoint(*lo), JacPoint(*top)
+            valid = jnp.arange(half) < (m2 - half)
+            seg = curve.select(valid, curve.add(lo, top), lo)
+            m2 = half
+        return jax.tree.map(lambda a: a[0], seg)
+
+    # scan over windows, low window first
+    wins = [window_sum(digits_all[w]) for w in range(n_windows)]
+
+    # horner from the highest window down
+    acc = JacPoint(*wins[-1])
+    for w in range(n_windows - 2, -1, -1):
+        for _ in range(c):
+            acc = curve.dbl(acc)
+        acc = curve.add(acc, JacPoint(*wins[w]))
+    return acc

@@ -1,0 +1,77 @@
+"""NTT tests: against a naive O(n^2) python DFT and algebraic properties."""
+
+import random
+
+import jax
+import pytest
+
+from keyless_zk_tpu.fields import bn254
+from keyless_zk_tpu.fields.jax_field import FR
+from keyless_zk_tpu.fields import jax_field as jf
+from keyless_zk_tpu.ops.ntt import get_plan
+
+R = bn254.R_SCALAR
+rng = random.Random(5)
+
+
+def naive_ntt(vals, w):
+    n = len(vals)
+    return [sum(vals[j] * pow(w, j * k, R) for j in range(n)) % R for k in range(n)]
+
+
+@pytest.mark.parametrize("domain_pow", [1, 2, 4, 6])
+def test_ntt_matches_naive(domain_pow):
+    n = 1 << domain_pow
+    vals = [rng.randrange(R) for _ in range(n)]
+    w = bn254.fr_root_of_unity(domain_pow)
+    plan = get_plan(domain_pow)
+    x = jf.encode_ints(vals, FR, mont=True)
+    got = jf.decode_ints(plan.ntt(x), FR, mont=True)
+    assert got == naive_ntt(vals, w)
+
+
+@pytest.mark.parametrize("domain_pow", [3, 8])
+def test_intt_roundtrip(domain_pow):
+    n = 1 << domain_pow
+    vals = [rng.randrange(R) for _ in range(n)]
+    plan = get_plan(domain_pow)
+    x = jf.encode_ints(vals, FR, mont=True)
+    back = jf.decode_ints(plan.intt(plan.ntt(x)), FR, mont=True)
+    assert back == vals
+
+
+def test_coset_evaluation_property():
+    """intt -> coset-shift -> ntt evaluates the polynomial on the eta-coset,
+    where Z(x)=x^n-1 is the nonzero constant eta^n-1 (the Groth16 coset trick)."""
+    domain_pow = 3
+    n = 1 << domain_pow
+    vals = [rng.randrange(R) for _ in range(n)]
+    plan = get_plan(domain_pow)
+    x = jf.encode_ints(vals, FR, mont=True)
+    coeffs = plan.intt(x)
+    shifted = jf.mont_mul(coeffs, plan.coset_powers(), FR)
+    got = jf.decode_ints(plan.ntt(shifted), FR, mont=True)
+
+    # ground truth: interpolate then evaluate at eta*w^k
+    coeff_ints = jf.decode_ints(coeffs, FR, mont=True)
+    w = bn254.fr_root_of_unity(domain_pow)
+    eta = bn254.fr_root_of_unity(domain_pow + 1)
+    for k in range(n):
+        pt = (eta * pow(w, k, R)) % R
+        expect = sum(c * pow(pt, i, R) for i, c in enumerate(coeff_ints)) % R
+        assert got[k] == expect
+    assert pow(eta, n, R) != 1 and pow(eta, 2 * n, R) == 1
+
+
+def test_batched_ntt():
+    domain_pow, b = 4, 3
+    n = 1 << domain_pow
+    plan = get_plan(domain_pow)
+    w = bn254.fr_root_of_unity(domain_pow)
+    rows = [[rng.randrange(R) for _ in range(n)] for _ in range(b)]
+    import jax.numpy as jnp
+
+    x = jnp.stack([jf.encode_ints(r, FR, mont=True) for r in rows])
+    out = plan.ntt(x)
+    for i, r in enumerate(rows):
+        assert jf.decode_ints(out[i], FR, mont=True) == naive_ntt(r, w)
