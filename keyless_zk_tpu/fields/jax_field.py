@@ -142,24 +142,39 @@ def _normalize(cols: jnp.ndarray, out_limbs: int) -> jnp.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=16)
+def _conv_onehots(l_a: int, l_b: int, out_cols: int) -> tuple[np.ndarray, np.ndarray]:
+    """One-hot tensors mapping outer-product entries to convolution columns.
+
+    T0[i,j,k] = [i+j == k] routes the low half of each 16x16-bit product,
+    T1 routes the high half (weight 2^16 -> column i+j+1).
+    """
+    t0 = np.zeros((l_a, l_b, out_cols), dtype=np.uint32)
+    t1 = np.zeros((l_a, l_b, out_cols), dtype=np.uint32)
+    for i in range(l_a):
+        for j in range(l_b):
+            if i + j < out_cols:
+                t0[i, j, i + j] = 1
+            if i + j + 1 < out_cols:
+                t1[i, j, i + j + 1] = 1
+    return t0, t1
+
+
 def _product_cols(a: jnp.ndarray, b: jnp.ndarray, out_cols: int) -> jnp.ndarray:
     """Schoolbook limb convolution of canonical limb vectors.
 
     (..., L) x (..., L) -> (..., out_cols) u32 columns of 16-bit weight.
     Exact: 16x16-bit products fit u32; each column accumulates <= 2L terms
-    of < 2^16, so columns stay < 2^21.
+    of < 2^16, so columns stay < 2^21. Expressed as one outer product plus
+    two one-hot contractions — 3 fat XLA ops (dot_general rides the MXU)
+    instead of a ~100-op pad/concat chain, which keeps XLA:CPU compile
+    times sane and gives the TPU a matmul-shaped inner loop.
     """
-    L = a.shape[-1]
-    width = 2 * L + 1
-    zcfg = [(0, 0)] * (a.ndim - 1)
-    cols = None
-    for i in range(L):
-        prod = a[..., i : i + 1] * b  # (..., L) u32, exact
-        sh = jnp.pad(prod & MASK, zcfg + [(i, width - L - i)]) + jnp.pad(
-            prod >> LIMB_BITS, zcfg + [(i + 1, width - L - i - 1)]
-        )
-        cols = sh if cols is None else cols + sh
-    return cols[..., :out_cols]
+    o = a[..., :, None] * b[..., None, :]  # (..., L, L) u32, exact
+    t0, t1 = _conv_onehots(a.shape[-1], b.shape[-1], out_cols)
+    lo = jnp.einsum("...ij,ijk->...k", o & MASK, jnp.asarray(t0))
+    hi = jnp.einsum("...ij,ijk->...k", o >> LIMB_BITS, jnp.asarray(t1))
+    return lo + hi
 
 
 # ---- field ops -------------------------------------------------------------
@@ -220,28 +235,80 @@ def select(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(mask[..., None], a, b)
 
 
-@functools.partial(jax.jit, static_argnames="spec")
-def mont_mul(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
-    """Montgomery product a*b*R^-1 mod p, canonical in/out.
+def _redc(t: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    """Montgomery reduction: t (canonical 32-limb, value < p*R) -> t*R^-1 mod p.
 
-    Parallel (redundant-arithmetic) Montgomery:
-        T = a*b                      (32-limb convolution)
-        m = T * (-p^-1) mod R        (16-limb low convolution)
-        out = (T + m*p) / R          (exact division: low limbs vanish)
+        m = t * (-p^-1) mod R        (16-limb low convolution)
+        out = (t + m*p) / R          (exact division: low limbs vanish)
     Result < 2p, one conditional subtract.
     """
     n0 = _const(spec.n0_limbs)
     p_row = _const(spec.p_limbs)
-
-    t = _normalize(_product_cols(a, b, 2 * NUM_LIMBS + 1), 2 * NUM_LIMBS)
     t_lo = t[..., :NUM_LIMBS]
     m = _normalize(_product_cols(t_lo, jnp.broadcast_to(n0, t_lo.shape), NUM_LIMBS), NUM_LIMBS)
     mp = _product_cols(m, jnp.broadcast_to(p_row, m.shape), 2 * NUM_LIMBS + 1)
     s = mp + jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, 1)])  # cols < 2^22
     s = _normalize(s, 2 * NUM_LIMBS + 1)
-    # T + m*p ≡ 0 mod R exactly, so the low 16 limbs are zero: divide by R.
-    limbs = s[..., NUM_LIMBS : 2 * NUM_LIMBS]  # (T + m*p)/R < 2p fits 16 limbs
+    # t + m*p ≡ 0 mod R exactly, so the low 16 limbs are zero: divide by R.
+    limbs = s[..., NUM_LIMBS : 2 * NUM_LIMBS]  # (t + m*p)/R < 2p fits 16 limbs
     return _csub_p(limbs, spec)
+
+
+@functools.partial(jax.jit, static_argnames="spec")
+def mont_mul(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    """Montgomery product a*b*R^-1 mod p, canonical in/out.
+
+    Parallel (redundant-arithmetic) Montgomery: one full limb convolution
+    T = a*b, then the REDC tail — no sequential limb recurrence anywhere.
+    """
+    t = _normalize(_product_cols(a, b, 2 * NUM_LIMBS + 1), 2 * NUM_LIMBS)
+    return _redc(t, spec)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "num_segments"))
+def segment_sum_mod(
+    values: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    spec: FieldSpec,
+) -> jnp.ndarray:
+    """Race-free modular scatter-add: out[k] = sum_{segment_ids[i]==k} values[i].
+
+    TPU-native replacement for the reference's spinlock-guarded coefficient
+    scatter (groth16.cpp:135-156): limbs are split into 8-bit halves and
+    accumulated with plain integer segment sums (exact for < 2^23 terms per
+    segment), then each wide row is folded back to canonical form with one
+    Montgomery reduction.
+
+    NOTE the output is scaled by R^-1 (the REDC factor): pre-scale `values`
+    by R (e.g. multiply the static coefficient table by R^2 once at load
+    time) so the result comes out in the intended representation.
+    """
+    assert values.shape[0] < (1 << 23), "segment_sum_mod: too many terms"
+    lo = (values & jnp.uint32(0xFF)).astype(jnp.uint32)
+    hi = (values >> 8).astype(jnp.uint32)
+    sum_lo = jax.ops.segment_sum(lo, segment_ids, num_segments)  # < 2^31
+    sum_hi = jax.ops.segment_sum(hi, segment_ids, num_segments)
+    # wide row value = sum_lo . 2^16-weights + sum_hi . 2^16-weights . 2^8
+    # decompose every u32 column into 16-bit digits at the right positions
+    ext = 2 * NUM_LIMBS  # plenty: value < 2^23 * p < 2^278
+    cols = jnp.zeros((*sum_lo.shape[:-1], ext), dtype=jnp.uint32)
+
+    def scatter(cols, arr, limb_offset):
+        pad_cfg = [(0, 0)] * (arr.ndim - 1)
+        arr = jnp.pad(arr, pad_cfg + [(limb_offset, ext - NUM_LIMBS - limb_offset)])
+        return cols + arr
+
+    # sum_lo = d0 + 2^16 d1
+    cols = scatter(cols, sum_lo & MASK, 0)
+    cols = scatter(cols, sum_lo >> LIMB_BITS, 1)
+    # sum_hi * 2^8 = (hi & 0xFF) 2^8 + ((hi >> 8) & 0xFFFF) 2^16 + (hi >> 24) 2^32
+    cols = scatter(cols, (sum_hi & jnp.uint32(0xFF)) << 8, 0)
+    cols = scatter(cols, (sum_hi >> 8) & MASK, 1)
+    cols = scatter(cols, sum_hi >> 24, 2)
+    # columns < 5 * 2^16 < 2^22: _normalize handles them exactly
+    t = _normalize(cols, ext)
+    return _redc(t, spec)
 
 
 def to_mont(a: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:

@@ -1,0 +1,170 @@
+"""Groth16 prover — JAX orchestration of the TPU kernels.
+
+TPU-native re-design of the reference's C++ prover
+(rust-rapidsnark/rapidsnark/src/groth16.cpp:41-360):
+
+  1. four MSMs over the witness (A, B1, C on G1; B2 on G2)   [ops/msm.py]
+  2. coefficient scatter into the a/b evaluation vectors — the reference's
+     1024-spinlock scatter (groth16.cpp:135-156) becomes a race-free
+     `segment_sum_mod` (sorted segment reduction)
+  3. c = a*b; three (iNTT -> coset shift -> NTT) pipelines    [ops/ntt.py]
+  4. h = (a*b - c) * R^-1, MSM over the H point table
+  5. host-side tail: blind with r,s and assemble pi_a/pi_b/pi_c
+     (groth16.cpp:288-353)
+
+Representation note: we run the polynomial phase in exactly the reference's
+"raw byte" space — zkey coefficients are Montgomery-stored, witness values
+standard — so every intermediate equals rapidsnark's bit-for-bit and the
+final MSM_H scalars match what the snarkjs H-point basis expects. The coef
+table is pre-scaled by R^2 at load time so `segment_sum_mod`'s REDC factor
+cancels (see its docstring).
+"""
+
+from __future__ import annotations
+
+import secrets
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..curves import ref_curve
+from ..curves.jacobian import G1_CURVE, G2_CURVE, JacPoint
+from ..fields import bn254
+from ..fields import jax_field as jf
+from ..fields.jax_field import FR
+from ..fields.limbs import NUM_LIMBS
+from ..ops.msm import msm
+from ..ops.ntt import get_plan
+from .zkey import ProvingKey
+
+
+@dataclass
+class Proof:
+    """Proof points in standard-form host ints, snarkjs shapes."""
+
+    pi_a: tuple
+    pi_b: tuple
+    pi_c: tuple
+
+    def to_json_dict(self) -> dict:
+        """snarkjs proof JSON — exact shape of reference groth16.cpp:362-410."""
+        return {
+            "pi_a": [str(self.pi_a[0]), str(self.pi_a[1]), "1"],
+            "pi_b": [
+                [str(self.pi_b[0][0]), str(self.pi_b[0][1])],
+                [str(self.pi_b[1][0]), str(self.pi_b[1][1])],
+                ["1", "0"],
+            ],
+            "pi_c": [str(self.pi_c[0]), str(self.pi_c[1]), "1"],
+            "protocol": "groth16",
+        }
+
+
+def _sample_fr() -> int:
+    """Rejection-sample a uniform scalar < r (groth16.cpp:288-316)."""
+    while True:
+        v = int.from_bytes(secrets.token_bytes(32), "little") & ((1 << 254) - 1)
+        if v < bn254.R_SCALAR:
+            return v
+
+
+class Groth16Prover:
+    """Device-resident proving key + jitted prove pipeline.
+
+    Plays the role of the reference's FullProver/Prover pair
+    (fullprover.cpp:136-181, groth16.cpp:41-360): construct once per zkey,
+    call :meth:`prove` per witness.
+    """
+
+    def __init__(self, pk: ProvingKey, lanes: int = 1 << 12):
+        if pk.q != bn254.Q or pk.r != bn254.R_SCALAR:
+            raise ValueError("zkey curve is not BN254")  # fullprover.cpp:154-158
+        self.pk = pk
+        self.lanes = lanes
+        self.domain_pow = (pk.domain_size - 1).bit_length()
+        if (1 << self.domain_pow) != pk.domain_size:
+            raise ValueError("domain size must be a power of two")
+        self.plan = get_plan(self.domain_pow)
+
+        dev = jnp.asarray
+        self.points_a = (dev(pk.points_a.x), dev(pk.points_a.y), dev(pk.points_a.inf))
+        self.points_b1 = (dev(pk.points_b1.x), dev(pk.points_b1.y), dev(pk.points_b1.inf))
+        self.points_b2 = (dev(pk.points_b2.x), dev(pk.points_b2.y), dev(pk.points_b2.inf))
+        # Front-pad the C table with nPublic+1 infinity rows: pointsC[i]
+        # pairs with wtns[i + nPublic + 1] (groth16.cpp:104-112), so after
+        # padding, table row i pairs with wtns[i] and MSM_C shares
+        # MSM_A/B1's shape — one compiled kernel for all three.
+        pad_c = pk.n_vars - pk.points_c.x.shape[0]
+        self.points_c = (
+            dev(np.pad(pk.points_c.x, [(pad_c, 0), (0, 0)])),
+            dev(np.pad(pk.points_c.y, [(pad_c, 0), (0, 0)])),
+            dev(np.pad(pk.points_c.inf, [(pad_c, 0)], constant_values=True)),
+        )
+        self.points_h = (dev(pk.points_h.x), dev(pk.points_h.y), dev(pk.points_h.inf))
+        # pre-scale Montgomery-stored coefs by R^2: segment_sum_mod's trailing
+        # REDC then lands values in the reference's raw-byte representation.
+        r2 = jf.consts(FR, FR.r2_mod_p)
+        self.coef_val = jf.mont_mul(dev(pk.coef_val), r2, FR)
+        self.coef_s = dev(pk.coef_s.astype(np.int32))
+        # destination index in the doubled (m, c) key space: m*domain + c
+        self.coef_dest = dev((pk.coef_m.astype(np.int64) * pk.domain_size + pk.coef_c).astype(np.int32))
+        self.coset = self.plan.coset_powers()
+
+    # ---- device phases -------------------------------------------------
+
+    def _h_scalars(self, witness: jnp.ndarray) -> jnp.ndarray:
+        """Witness -> MSM_H scalar vector (the NTT phase), fully on device."""
+        pk = self.pk
+        av = jf.mont_mul(jnp.take(witness, self.coef_s, axis=0), self.coef_val, FR)
+        ab = jf.segment_sum_mod(av, self.coef_dest, 2 * pk.domain_size, FR)
+        a, b = ab[: pk.domain_size], ab[pk.domain_size :]
+        c = jf.mont_mul(a, b, FR)
+
+        def coset_transform(x):
+            x = self.plan.intt(x)
+            x = jf.mont_mul(x, self.coset, FR)  # shift: groth16.cpp:182-190
+            return self.plan.ntt(x)
+
+        a, b, c = coset_transform(a), coset_transform(b), coset_transform(c)
+        h = jf.sub(jf.mont_mul(a, b, FR), c, FR)
+        return jf.from_mont(h, FR)  # groth16.cpp:264-279
+
+    # ---- full prove ------------------------------------------------------
+
+    def prove(self, witness_limbs: np.ndarray, r: int | None = None, s: int | None = None) -> Proof:
+        """witness_limbs: (nVars, 16) uint32 standard-form limb rows."""
+        pk = self.pk
+        w = jnp.asarray(witness_limbs)
+        assert w.shape == (pk.n_vars, NUM_LIMBS)
+
+        msm_a = msm(*self.points_a, w, curve=G1_CURVE, lanes=self.lanes)
+        msm_b1 = msm(*self.points_b1, w, curve=G1_CURVE, lanes=self.lanes)
+        msm_b2 = msm(*self.points_b2, w, curve=G2_CURVE, lanes=self.lanes)
+        # the public rows of the padded C table are infinity, so the full
+        # witness is a valid scalar vector here
+        msm_c = msm(*self.points_c, w, curve=G1_CURVE, lanes=self.lanes)
+        h = self._h_scalars(w)
+        msm_h = msm(*self.points_h, h, curve=G1_CURVE, lanes=self.lanes)
+
+        # decode the five MSM results to host affine points
+        a_pt = G1_CURVE.decode_jacobian(JacPoint(*jax.tree.map(lambda v: v[None], msm_a)))[0]
+        b1_pt = G1_CURVE.decode_jacobian(JacPoint(*jax.tree.map(lambda v: v[None], msm_b1)))[0]
+        b2_pt = G2_CURVE.decode_jacobian(JacPoint(*jax.tree.map(lambda v: v[None], msm_b2)))[0]
+        c_pt = G1_CURVE.decode_jacobian(JacPoint(*jax.tree.map(lambda v: v[None], msm_c)))[0]
+        h_pt = G1_CURVE.decode_jacobian(JacPoint(*jax.tree.map(lambda v: v[None], msm_h)))[0]
+
+        # host tail: blinding and final point assembly (groth16.cpp:288-353)
+        r = _sample_fr() if r is None else r
+        s = _sample_fr() if s is None else s
+        g1, g2 = ref_curve.G1, ref_curve.G2
+
+        pi_a = g1.add(g1.add(a_pt, pk.vk_alpha1), g1.mul(pk.vk_delta1, r))
+        pi_b = g2.add(g2.add(b2_pt, pk.vk_beta2), g2.mul(pk.vk_delta2, s))
+        pib1 = g1.add(g1.add(b1_pt, pk.vk_beta1), g1.mul(pk.vk_delta1, s))
+        pi_c = g1.add(c_pt, h_pt)
+        pi_c = g1.add(pi_c, g1.mul(pi_a, s))
+        pi_c = g1.add(pi_c, g1.mul(pib1, r))
+        pi_c = g1.add(pi_c, g1.neg(g1.mul(pk.vk_delta1, (r * s) % bn254.R_SCALAR)))
+        return Proof(pi_a=pi_a, pi_b=pi_b, pi_c=pi_c)

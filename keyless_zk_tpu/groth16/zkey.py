@@ -1,0 +1,180 @@
+"""Groth16 proving-key (.zkey) parser -> host numpy tables.
+
+Layout per the reference's reader (rust-rapidsnark/rapidsnark/src/
+zkey_utils.hpp:48-88 and fullprover.cpp:164-174):
+
+  section 1: u32 protocol (1 = groth16)
+  section 2: n8q, q, n8r, r, nVars, nPublic, domainSize,
+             vk_alpha1 (G1), vk_beta1 (G1), vk_beta2 (G2),
+             vk_gamma2 (G2), vk_delta1 (G1), vk_delta2 (G2)
+  section 4: u32 nCoefs, then nCoefs x { u32 m, u32 c, u32 s, Fr coef }
+  section 5: pointsA   (nVars G1)
+  section 6: pointsB1  (nVars G1)
+  section 7: pointsB2  (nVars G2)
+  section 8: pointsC   (nVars - nPublic - 1 G1)
+  section 9: pointsH   (domainSize G1)
+
+Field elements are 32-byte little-endian **Montgomery-form** integers
+(R = 2^256), which is byte-compatible with our device limb encoding
+(fields/limbs.py), so point tables upload with zero bigint work.
+G1 affine = (x, y); G2 affine = (x0, x1, y0, y1); the point at infinity is
+stored as all-zero coordinates.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..fields.limbs import bytes_le_to_limbs
+from .binfile import BinFile, le_bytes_to_int
+
+
+@dataclass
+class G1Table:
+    """(n, 16) uint32 Montgomery limb arrays + infinity mask (host numpy)."""
+
+    x: np.ndarray
+    y: np.ndarray
+    inf: np.ndarray
+
+
+@dataclass
+class G2Table:
+    """(n, 2, 16) uint32 Montgomery limb arrays + infinity mask."""
+
+    x: np.ndarray
+    y: np.ndarray
+    inf: np.ndarray
+
+
+def _parse_g1_table(buf: np.ndarray, n8q: int) -> G1Table:
+    rec = 2 * n8q
+    n = buf.size // rec
+    limbs = bytes_le_to_limbs(buf[: n * rec], n8q).reshape(n, 2, 16)
+    x, y = limbs[:, 0], limbs[:, 1]
+    inf = ~(np.any(x != 0, axis=-1) | np.any(y != 0, axis=-1))
+    return G1Table(x=x, y=y, inf=inf)
+
+
+def _parse_g2_table(buf: np.ndarray, n8q: int) -> G2Table:
+    rec = 4 * n8q
+    n = buf.size // rec
+    limbs = bytes_le_to_limbs(buf[: n * rec], n8q).reshape(n, 4, 16)
+    x = limbs[:, 0:2]  # (n, 2, 16): c0, c1
+    y = limbs[:, 2:4]
+    inf = ~(np.any(x != 0, axis=(-1, -2)) | np.any(y != 0, axis=(-1, -2)))
+    return G2Table(x=x, y=y, inf=inf)
+
+
+@dataclass
+class ProvingKey:
+    n8q: int
+    n8r: int
+    q: int
+    r: int
+    n_vars: int
+    n_public: int
+    domain_size: int
+    n_coefs: int
+    # vk points as standard-form host ints (converted out of Montgomery)
+    vk_alpha1: tuple
+    vk_beta1: tuple
+    vk_beta2: tuple
+    vk_gamma2: tuple
+    vk_delta1: tuple
+    vk_delta2: tuple
+    # coefficient table (section 4)
+    coef_m: np.ndarray  # (nCoefs,) uint32, 0 -> a, 1 -> b
+    coef_c: np.ndarray  # (nCoefs,) uint32 destination index in the domain
+    coef_s: np.ndarray  # (nCoefs,) uint32 source witness index
+    coef_val: np.ndarray  # (nCoefs, 16) uint32, raw Montgomery-form limbs
+    # point tables (Montgomery limb form, ready for device upload)
+    points_a: G1Table
+    points_b1: G1Table
+    points_b2: G2Table
+    points_c: G1Table
+    points_h: G1Table
+
+
+def _g1_std(buf: np.ndarray, n8q: int, q: int) -> tuple:
+    """One stored G1 point -> standard-form (x, y) ints (or None for inf)."""
+    r_inv = pow(1 << (8 * n8q), -1, q)
+    x = le_bytes_to_int(buf[:n8q]) * r_inv % q
+    y = le_bytes_to_int(buf[n8q : 2 * n8q]) * r_inv % q
+    return None if x == 0 and y == 0 else (x, y)
+
+
+def _g2_std(buf: np.ndarray, n8q: int, q: int) -> tuple:
+    r_inv = pow(1 << (8 * n8q), -1, q)
+    c = [le_bytes_to_int(buf[i * n8q : (i + 1) * n8q]) * r_inv % q for i in range(4)]
+    return ((c[0], c[1]), (c[2], c[3]))
+
+
+def load_zkey(path: str) -> ProvingKey:
+    bf = BinFile.load(path, "zkey")
+    (protocol,) = struct.unpack_from("<I", bf.section(1), 0)
+    if protocol != 1:
+        raise ValueError("zkey file is not groth16")  # zkey_utils.hpp:55-58
+
+    s2 = bf.section(2)
+    pos = 0
+    (n8q,) = struct.unpack_from("<I", s2, pos)
+    pos += 4
+    q = le_bytes_to_int(s2[pos : pos + n8q])
+    pos += n8q
+    (n8r,) = struct.unpack_from("<I", s2, pos)
+    pos += 4
+    r = le_bytes_to_int(s2[pos : pos + n8r])
+    pos += n8r
+    n_vars, n_public, domain_size = struct.unpack_from("<III", s2, pos)
+    pos += 12
+    vk_alpha1 = _g1_std(s2[pos:], n8q, q)
+    pos += 2 * n8q
+    vk_beta1 = _g1_std(s2[pos:], n8q, q)
+    pos += 2 * n8q
+    vk_beta2 = _g2_std(s2[pos:], n8q, q)
+    pos += 4 * n8q
+    vk_gamma2 = _g2_std(s2[pos:], n8q, q)
+    pos += 4 * n8q
+    vk_delta1 = _g1_std(s2[pos:], n8q, q)
+    pos += 2 * n8q
+    vk_delta2 = _g2_std(s2[pos:], n8q, q)
+    pos += 4 * n8q
+
+    # section 4: leading u32 count, then packed 12+n8r records
+    # (reference skips the count by offsetting +4: groth16.cpp:32)
+    s4 = bf.section(4)
+    rec = 12 + n8r
+    n_coefs = (s4.size - 4) // rec
+    body = s4[4 : 4 + n_coefs * rec].reshape(n_coefs, rec)
+    meta = np.ascontiguousarray(body[:, :12]).view(np.uint32).reshape(n_coefs, 3)
+    coef_val = bytes_le_to_limbs(np.ascontiguousarray(body[:, 12:]).reshape(-1), n8r)
+
+    return ProvingKey(
+        n8q=n8q,
+        n8r=n8r,
+        q=q,
+        r=r,
+        n_vars=n_vars,
+        n_public=n_public,
+        domain_size=domain_size,
+        n_coefs=n_coefs,
+        vk_alpha1=vk_alpha1,
+        vk_beta1=vk_beta1,
+        vk_beta2=vk_beta2,
+        vk_gamma2=vk_gamma2,
+        vk_delta1=vk_delta1,
+        vk_delta2=vk_delta2,
+        coef_m=meta[:, 0].copy(),
+        coef_c=meta[:, 1].copy(),
+        coef_s=meta[:, 2].copy(),
+        coef_val=coef_val,
+        points_a=_parse_g1_table(bf.section(5), n8q),
+        points_b1=_parse_g1_table(bf.section(6), n8q),
+        points_b2=_parse_g2_table(bf.section(7), n8q),
+        points_c=_parse_g1_table(bf.section(8), n8q),
+        points_h=_parse_g1_table(bf.section(9), n8q),
+    )

@@ -80,9 +80,59 @@ def _segmented_suffix_totals(keys: jnp.ndarray, pts: JacPoint, curve: JacobianCu
     return acc, leader
 
 
-@functools.partial(
-    jax.jit, static_argnames=("curve", "c", "lanes")
-)
+@functools.partial(jax.jit, static_argnames="curve")
+def _msm_small(points_x, points_y, points_inf, scalars, *, curve) -> JacPoint:
+    """Direct MSM for small n: batched double-and-add over all points at
+    once (254 steps), then a log-depth tree sum. One small traced graph —
+    Pippenger's window machinery only pays off at scale."""
+    n = scalars.shape[0]
+    bit_idx = jnp.arange(SCALAR_BITS - 1, -1, -1)
+    limb = bit_idx // LIMB_BITS
+    off = bit_idx % LIMB_BITS
+    bits = (scalars[:, limb] >> off) & 1  # (n, 254) MSB-first
+
+    base = curve.from_affine(points_x, points_y, points_inf)
+
+    def body(i, acc):
+        acc = curve.dbl(acc)
+        added = curve.add(acc, base)
+        return curve.select(bits[:, i] == 1, added, acc)
+
+    acc = jax.lax.fori_loop(0, SCALAR_BITS, body, curve.infinity((n,)))
+    return tree_reduce_points(curve, acc, n)
+
+
+def tree_reduce_points(curve: JacobianCurve, acc: JacPoint, m: int) -> JacPoint:
+    """Log-depth sum of a leading-axis batch of Jacobian points.
+
+    Odd halves are padded with infinity (z = 0), which the group law
+    absorbs, so every add is full-width."""
+    while m > 1:
+        half = (m + 1) // 2
+        lo = JacPoint(*jax.tree.map(lambda a: a[:half], acc))
+        hi = JacPoint(
+            *jax.tree.map(
+                lambda a: jnp.pad(
+                    a[half:m], [(0, 2 * half - m)] + [(0, 0)] * (a.ndim - 1)
+                ),
+                acc,
+            )
+        )
+        acc = curve.add(lo, hi)
+        m = half
+    return JacPoint(*jax.tree.map(lambda a: a[0], acc))
+
+
+def msm_window_bits(n: int) -> int:
+    """Window size tuned for the vectorized design: few, wide windows.
+
+    Unlike the reference's per-point cost model (multiexp.cpp:206-213,
+    log2(n/2) clamped to [2,16]), every extra window here costs a full
+    sorted pass over n points, so we push toward 16-bit windows as soon as
+    the 2^c bucket table is small relative to n."""
+    return max(8, min(16, max(n, 2).bit_length()))
+
+
 def msm(
     points_x: jnp.ndarray,
     points_y: jnp.ndarray,
@@ -90,13 +140,35 @@ def msm(
     scalars: jnp.ndarray,
     *,
     curve: JacobianCurve,
-    c: int = 13,
+    c: int | None = None,
     lanes: int = 1 << 12,
+    small_threshold: int = 128,
 ) -> JacPoint:
     """sum_i scalars[i] * P_i.  Points affine (Montgomery), scalars standard.
 
     Returns a single Jacobian point (batch shape ()).
     """
+    n = scalars.shape[0]
+    if n <= small_threshold:
+        return _msm_small(points_x, points_y, points_inf, scalars, curve=curve)
+    if c is None:
+        c = msm_window_bits(n)
+    return _msm_pippenger(
+        points_x, points_y, points_inf, scalars, curve=curve, c=c, lanes=lanes
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("curve", "c", "lanes"))
+def _msm_pippenger(
+    points_x: jnp.ndarray,
+    points_y: jnp.ndarray,
+    points_inf: jnp.ndarray,
+    scalars: jnp.ndarray,
+    *,
+    curve: JacobianCurve,
+    c: int,
+    lanes: int,
+) -> JacPoint:
     f = curve.ops
     n = scalars.shape[0]
     V = min(lanes, max(1, n))
@@ -208,26 +280,19 @@ def msm(
             suf = curve.select(valid, curve.add(suf, JacPoint(*shifted)), suf)
             s <<= 1
         # now suf[b] = sum_{b'>=b} B_b'; total = sum_{b>=1} suf[b]
-        seg = jax.tree.map(lambda a: a[1:], suf)
-        seg = JacPoint(*seg)
-        m2 = m - 1
-        while m2 > 1:
-            half = (m2 + 1) // 2
-            top = jax.tree.map(lambda a: a[half:m2], seg)
-            lo = jax.tree.map(lambda a: a[:half], seg)
-            lo, top = JacPoint(*lo), JacPoint(*top)
-            valid = jnp.arange(half) < (m2 - half)
-            seg = curve.select(valid, curve.add(lo, top), lo)
-            m2 = half
-        return jax.tree.map(lambda a: a[0], seg)
+        seg = JacPoint(*jax.tree.map(lambda a: a[1:], suf))
+        return tree_reduce_points(curve, seg, m - 1)
 
-    # scan over windows, low window first
-    wins = [window_sum(digits_all[w]) for w in range(n_windows)]
+    # one traced window_sum instance, mapped over all windows sequentially
+    wins = jax.lax.map(window_sum, digits_all)
 
     # horner from the highest window down
-    acc = JacPoint(*wins[-1])
+    def win(w):
+        return JacPoint(*jax.tree.map(lambda a: a[w], wins))
+
+    acc = win(n_windows - 1)
     for w in range(n_windows - 2, -1, -1):
         for _ in range(c):
             acc = curve.dbl(acc)
-        acc = curve.add(acc, JacPoint(*wins[w]))
+        acc = curve.add(acc, win(w))
     return acc

@@ -1,0 +1,50 @@
+"""Sharded kernels over the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+
+from keyless_zk_tpu.curves import ref_curve
+from keyless_zk_tpu.curves.jacobian import G1_CURVE
+from keyless_zk_tpu.fields import bn254
+from keyless_zk_tpu.fields import jax_field as jf
+from keyless_zk_tpu.fields.jax_field import FR
+from keyless_zk_tpu.fields.limbs import limbs_to_ints
+from keyless_zk_tpu.ops.ntt import get_plan
+from keyless_zk_tpu.parallel import make_mesh, sharded_msm, sharded_ntt_batch
+
+
+def test_sharded_msm_matches_host():
+    n_dev = len(jax.devices())
+    assert n_dev == 8
+    mesh = make_mesh(n_dev)
+    rng = np.random.default_rng(11)
+    n = 8 * n_dev
+    scalars = [int(x) % bn254.R_SCALAR for x in rng.integers(1, 1 << 63, n) ** 2]
+    pts = [ref_curve.G1.mul(ref_curve.G1_GEN, int(k)) for k in rng.integers(1, 1 << 30, n)]
+    px, py, pinf = G1_CURVE.encode_affine(pts)
+    out = sharded_msm(px, py, pinf, jf.encode_ints(scalars, FR), curve=G1_CURVE, mesh=mesh)
+    got = G1_CURVE.decode_jacobian(type(out)(*jax.tree.map(lambda v: v[None], out)))[0]
+    assert got == ref_curve.G1.msm(scalars, pts)
+
+
+def test_sharded_ntt_batch_matches_single():
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    domain_pow = 3
+    n = 1 << domain_pow
+    rng = np.random.default_rng(12)
+    vals = [int(x) % bn254.R_SCALAR for x in rng.integers(1, 1 << 62, n_dev * n)]
+    polys = jf.encode_ints(vals, FR, mont=True).reshape(n_dev, n, 16)
+    out = sharded_ntt_batch(polys, domain_pow=domain_pow, mesh=mesh)
+    plan = get_plan(domain_pow)
+    want = plan.ntt(polys)
+    assert np.array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_dryrun_multichip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
