@@ -15,10 +15,13 @@ import sys
 import time
 
 from ..fields.limbs import limbs_to_ints
+from ..utils.compile_cache import enable_compile_cache
 from .pairing import verify_groth16
 from .prover import Groth16Prover
 from .wtns import load_wtns
 from .zkey import load_zkey
+
+enable_compile_cache()
 
 
 def _public_signals(pk, wtns) -> list[int]:

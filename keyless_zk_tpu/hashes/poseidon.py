@@ -73,7 +73,12 @@ def poseidon_elems_with_len(elems: list[int], length: int) -> int:
 
 
 def hash_elems(elems: list[int]) -> int:
-    """Poseidon over any number of scalars via 16-ary tree reduction."""
+    """Poseidon over any number of scalars via 16-ary tree reduction.
+
+    Matches HashElemsToField exactly for <= 64 elements: chunks of 16 are
+    hashed (a singleton tail chunk becomes Poseidon(1), NOT a passthrough —
+    HashElemsToField.circom:25-100), then the roots are hashed together.
+    """
     elems = list(elems)
     if len(elems) <= MAX_T - 1:
         return poseidon_hash(elems)
@@ -81,7 +86,6 @@ def hash_elems(elems: list[int]) -> int:
     while len(level) > 1:
         nxt = []
         for i in range(0, len(level), 16):
-            chunk = level[i : i + 16]
-            nxt.append(poseidon_hash(chunk) if len(chunk) > 1 else chunk[0])
+            nxt.append(poseidon_hash(level[i : i + 16]))
         level = nxt
     return level[0]
