@@ -1,0 +1,64 @@
+"""Service configuration (YAML).
+
+Mirror of prover-service/src/external_resources/prover_config.rs:17-120:
+`ProverServiceConfig` with serde-style defaults, path helpers into the
+content-addressed setup directory, and `load_circuit_params()` for the
+per-setup circuit_config.yml contract.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from ..input_processing.circuit_config import CircuitConfig, default_circuit_config
+
+DEFAULT_SETUP_ROOT = os.path.expanduser("~/.local/share/keyless_zk_tpu/setups")
+
+
+@dataclass
+class ProverServiceConfig:
+    setup_dir: str = "default"
+    resources_dir: str = DEFAULT_SETUP_ROOT
+    zkey_filename: str = "prover_key.zkey"
+    vk_filename: str = "verification_key.json"
+    circuit_config_filename: str = "circuit_config.yml"
+    oidc_providers: list = field(default_factory=list)  # [{iss, endpoint_url}]
+    jwk_refresh_rate_secs: int = 10
+    port: int = 8083
+    metrics_port: int = 9100
+    enable_debug_checks: bool = False
+    enable_test_provider: bool = False
+    enable_federated_jwks: bool = False
+    max_committed_epk_bytes: int = 93  # prover_config.rs default
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "ProverServiceConfig":
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        known = {k: v for k, v in raw.items() if k in cls.__dataclass_fields__}
+        unknown = set(raw) - set(known)
+        if unknown:  # deny_unknown_fields (prover_config.rs:17)
+            raise ValueError(f"unknown config fields: {sorted(unknown)}")
+        return cls(**known)
+
+    # ---- path helpers (prover_config.rs:55-104) ----
+    def setup_path(self, *parts: str) -> str:
+        return os.path.join(self.resources_dir, self.setup_dir, *parts)
+
+    def zkey_path(self) -> str:
+        return self.setup_path(self.zkey_filename)
+
+    def vk_path(self) -> str:
+        return self.setup_path(self.vk_filename)
+
+    def circuit_config_path(self) -> str:
+        return self.setup_path(self.circuit_config_filename)
+
+    def load_circuit_params(self) -> CircuitConfig:
+        path = self.circuit_config_path()
+        if os.path.exists(path):
+            return CircuitConfig.from_yaml(path)
+        return default_circuit_config()

@@ -1,0 +1,160 @@
+"""Shared prover service state + the prove pipeline.
+
+Mirror of prover-service/src/request_handler/prover_state.rs (state init)
+and prover_handler.rs (the prove pipeline with its 9 instrumented phases).
+Differences from the reference are deliberate TPU-first redesigns:
+
+- witness generation is in-process (native ConstraintSystem hints), not a
+  forked circom binary (prover_handler.rs:516-527);
+- the prover is the device-resident Groth16 engine; requests queue through
+  a lock the same way the reference's `Mutex<Option<FullProver>>` does
+  (prover_state.rs:21) — batched/multi-chip proving lifts this limit via
+  keyless_zk_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from dataclasses import dataclass, field
+
+from ..circuits.keyless_circuit import (
+    KeylessConfig,
+    build_keyless_circuit,
+    to_circuit_config,
+    witness_kwargs,
+)
+from ..groth16.prover import Groth16Prover
+from ..input_processing.input_signals import derive_circuit_input_signals
+from .config import ProverServiceConfig
+from .jwk import JwkCache, JwkFetcher
+from .metrics import PROVE_BREAKDOWN_SECONDS, PROOFS_TOTAL
+from .training_wheels import (
+    TrainingWheelsKeyPair,
+    preprocess_and_validate_request,
+    proof_and_statement_bytes,
+)
+from .types import BadRequest, InternalError, RequestInput, success_response
+
+
+@dataclass
+class ProverServiceState:
+    config: ProverServiceConfig
+    circuit_config: object
+    keyless_config: KeylessConfig | None
+    tw_keypair: TrainingWheelsKeyPair
+    jwk_cache: JwkCache
+    jwk_fetcher: JwkFetcher | None = None
+    # proving backend (None for endpoint-only testing,
+    # prover_state.rs:53-78 `new_for_testing`)
+    cs: object | None = None
+    prover: Groth16Prover | None = None
+    vk: dict | None = None
+    prove_lock: threading.Lock = field(default_factory=threading.Lock)
+    deployment_info: dict = field(default_factory=dict)
+
+    @classmethod
+    def new_for_testing(
+        cls,
+        keyless_config: KeylessConfig | None = None,
+        tw_sk_hex: str = "11" * 32,
+        with_prover: bool = False,
+        jwk_fetch=None,
+    ) -> "ProverServiceState":
+        cfg = ProverServiceConfig()
+        kc = keyless_config or KeylessConfig()
+        state = cls(
+            config=cfg,
+            circuit_config=to_circuit_config(kc),
+            keyless_config=kc,
+            tw_keypair=TrainingWheelsKeyPair.from_sk_hex(tw_sk_hex),
+            jwk_cache=JwkCache(),
+        )
+        if jwk_fetch is not None:
+            state.jwk_fetcher = JwkFetcher(state.jwk_cache, fetch=jwk_fetch)
+        if with_prover:
+            state.init_prover_from_native_setup()
+        return state
+
+    def init_prover_from_native_setup(self, rng=None) -> None:
+        """Build the keyless circuit and run the native 1-party setup
+        (replaces zkey procurement, scripts/python/setups/testing_setup.py)."""
+        from ..circuits.r1cs_file import r1cs_from_cs
+        from ..circuits.setup import groth16_setup
+
+        self.cs = build_keyless_circuit(self.keyless_config)
+        res = groth16_setup(r1cs_from_cs(self.cs), rng=rng)
+        self.prover = Groth16Prover(res.pk)
+        self.vk = res.vk
+
+    # ---- the prove pipeline (prover_handler.rs:48-152) --------------------
+
+    def handle_prove(self, body: bytes) -> dict:
+        if self.prover is None or self.cs is None:
+            raise InternalError("prover not initialized")
+
+        phases = {}
+
+        def phase(name):
+            class _T:
+                def __enter__(s):
+                    s.t0 = time.monotonic()
+
+                def __exit__(s, *a):
+                    dt = time.monotonic() - s.t0
+                    phases[name] = dt
+                    PROVE_BREAKDOWN_SECONDS.observe(dt, phase=name)
+
+            return _T()
+
+        with phase("deserialize_request"):
+            try:
+                req = RequestInput.from_json_dict(json.loads(body))
+            except (json.JSONDecodeError, TypeError, ValueError) as e:
+                raise BadRequest(f"bad request body: {e}") from e
+
+        with phase("validate_request"):
+            vi = preprocess_and_validate_request(
+                req,
+                self.jwk_cache,
+                self.jwk_fetcher.get_federated_jwk if self.jwk_fetcher else None,
+            )
+
+        with phase("derive_circuit_input_signals"):
+            signals, public_inputs_hash = derive_circuit_input_signals(
+                self.circuit_config, vi, self.config.max_committed_epk_bytes
+            )
+
+        with phase("generate_witness"):
+            w = self.cs.compute_witness(**witness_kwargs(signals))
+            bad = self.cs.check_witness(w) if self.config.enable_debug_checks else None
+            if bad is not None:
+                raise InternalError(f"witness violates constraint {bad}")
+            w_np = self.cs.witness_np(w)
+
+        with phase("generate_proof"):
+            with self.prove_lock:  # prover_handler.rs:266-268
+                proof = self.prover.prove(w_np)
+
+        with phase("deserialize_proof"):
+            proof_json = proof.to_json_dict()
+
+        with phase("verify_proof"):  # defense in depth (prover_handler.rs:329-336)
+            from ..groth16.pairing import verify_groth16
+
+            if not verify_groth16(self.vk, [public_inputs_hash], proof_json):
+                PROOFS_TOTAL.inc(outcome="verify_failed")
+                raise InternalError("generated proof failed verification")
+
+        with phase("training_wheels_sign"):
+            msg = proof_and_statement_bytes(proof_json, public_inputs_hash)
+            tw_sig = self.tw_keypair.sign(msg)
+            # verify our own signature before responding (prover_handler.rs:216-221)
+            if not self.tw_keypair.verify(msg, tw_sig):
+                raise InternalError("training-wheels signature self-check failed")
+
+        with phase("build_response"):
+            PROOFS_TOTAL.inc(outcome="success")
+            resp = success_response(proof_json, public_inputs_hash, tw_sig.hex())
+        return resp

@@ -1,0 +1,173 @@
+"""Prover-service tests.
+
+Mirrors the reference's endpoint + validation tests
+(prover-service/src/tests/request_handler.rs, prover_handler.rs): routing,
+error mapping, training-wheels validation against a mock JWK issuer, and
+metrics exposition.  The full prove pipeline (setup + witness + TPU prove +
+verify + TW sign) runs when KEYLESS_FULL_SERVICE_TEST=1 — it procures a
+native setup first, like the reference's LOCAL_SETUP_PROCURED lazy static
+(tests/types.rs:28-45).
+"""
+
+import base64
+import json
+import os
+
+import pytest
+
+from keyless_zk_tpu.service.handler import handle_request
+from keyless_zk_tpu.service.jwk import JwkCache, RsaJwk, federated_jwks_url, parse_jwks_json
+from keyless_zk_tpu.service.prover_state import ProverServiceState
+from keyless_zk_tpu.service.training_wheels import preprocess_and_validate_request
+from keyless_zk_tpu.service.types import BadRequest, RequestInput
+
+from jwt_fixture import EPK_BLINDER, EPK_BYTES, EXP_DATE, EXP_HORIZON, IAT, PEPPER, make_test_jwt
+from test_keyless_circuit import SMALL
+
+
+def _state(**kw):
+    return ProverServiceState.new_for_testing(keyless_config=SMALL, **kw)
+
+
+def _register_jwk(state, tj):
+    n = tj.rsa_key.public_key().public_numbers().n
+    state.jwk_cache.insert(
+        tj.vi.jwt.payload.iss, RsaJwk(kid="test-kid-01", n=n)
+    )
+
+
+def _request_input(tj) -> dict:
+    return {
+        "jwt_b64": tj.jwt_str,
+        "epk": EPK_BYTES.hex(),
+        "epk_blinder": EPK_BLINDER.to_bytes(31, "little").hex(),
+        "exp_date_secs": EXP_DATE,
+        "exp_horizon_secs": EXP_HORIZON,
+        "pepper": PEPPER.to_bytes(31, "little").hex(),
+        "uid_key": "sub",
+    }
+
+
+def test_healthcheck_and_about_and_config():
+    state = _state()
+    code, _, payload = handle_request(state, "GET", "/healthcheck", b"")
+    assert code == 200 and payload == {"status": "ok"}
+    code, _, payload = handle_request(state, "GET", "/about", b"")
+    assert code == 200 and "training_wheels_public_key" in payload
+    code, _, payload = handle_request(state, "GET", "/config", b"")
+    assert code == 200 and payload["port"] == 8083
+    code, _, _ = handle_request(state, "GET", "/nope", b"")
+    assert code == 404
+    code, _, _ = handle_request(state, "OPTIONS", "/v0/prove", b"")
+    assert code == 200
+
+
+def test_cached_jwk_endpoint():
+    state = _state()
+    tj = make_test_jwt()
+    _register_jwk(state, tj)
+    code, _, payload = handle_request(state, "GET", "/cached/jwk", b"")
+    assert code == 200
+    assert "test-kid-01" in payload[tj.vi.jwt.payload.iss]
+
+
+def test_validation_accepts_good_request():
+    state = _state()
+    tj = make_test_jwt()
+    _register_jwk(state, tj)
+    req = RequestInput.from_json_dict(_request_input(tj))
+    vi = preprocess_and_validate_request(
+        req, state.jwk_cache, now_secs=IAT + 100
+    )
+    assert vi.uid_val == "user-1"
+    assert vi.pubkey_modulus == tj.rsa_key.public_key().public_numbers().n
+
+
+@pytest.mark.parametrize(
+    "mutate, msg_part",
+    [
+        (lambda d: d.update(jwt_b64=d["jwt_b64"][:-8] + "AAAAAAAA"), "signature"),
+        (lambda d: d.update(epk_blinder=(EPK_BLINDER + 1).to_bytes(31, "little").hex()), "nonce"),
+        (lambda d: d.update(exp_date_secs=IAT + EXP_HORIZON + 1), "horizon"),
+        (lambda d: d.update(uid_key="phone"), "uid"),
+    ],
+)
+def test_validation_rejects_bad_requests(mutate, msg_part):
+    state = _state()
+    tj = make_test_jwt()
+    _register_jwk(state, tj)
+    d = _request_input(tj)
+    mutate(d)
+    req = RequestInput.from_json_dict(d)
+    with pytest.raises(BadRequest):
+        preprocess_and_validate_request(req, state.jwk_cache, now_secs=IAT + 100)
+
+
+def test_validation_rejects_future_iat():
+    state = _state()
+    tj = make_test_jwt()
+    _register_jwk(state, tj)
+    req = RequestInput.from_json_dict(_request_input(tj))
+    with pytest.raises(BadRequest):
+        preprocess_and_validate_request(req, state.jwk_cache, now_secs=IAT - 3600)
+
+
+def test_prove_endpoint_maps_errors():
+    state = _state()  # no prover -> 500; bad JSON -> 400 first
+    code, _, payload = handle_request(state, "POST", "/v0/prove", b"not json")
+    assert code == 500  # prover not initialized precedes parsing
+    state2 = _state()
+    state2.prover = object()
+    state2.cs = object()
+    code, _, payload = handle_request(state2, "POST", "/v0/prove", b"not json")
+    assert code == 400 and "error" in payload
+
+
+def test_jwks_parsing_and_federated_urls():
+    n = 0xC0FFEE
+    jwks = {
+        "keys": [
+            {
+                "kty": "RSA",
+                "kid": "k1",
+                "n": base64.urlsafe_b64encode(n.to_bytes(3, "big")).decode().rstrip("="),
+                "e": "AQAB",
+            }
+        ]
+    }
+    parsed = parse_jwks_json(json.dumps(jwks))
+    assert parsed["k1"].n == n and parsed["k1"].e == 65537
+    assert federated_jwks_url("https://dev-abc123.us.auth0.com/") is not None
+    assert federated_jwks_url("https://cognito-idp.us-west-2.amazonaws.com/pool1") is not None
+    assert federated_jwks_url("https://accounts.google.com") is None
+
+
+def test_metrics_exposition():
+    from keyless_zk_tpu.service.metrics import REGISTRY, REQUEST_HANDLING_SECONDS
+
+    REQUEST_HANDLING_SECONDS.observe(0.01, endpoint="/healthcheck", method="GET", code="200")
+    text = REGISTRY.expose()
+    assert "keyless_prover_service_request_handling_seconds_bucket" in text
+    assert 'endpoint="/healthcheck"' in text
+
+
+@pytest.mark.skipif(
+    os.environ.get("KEYLESS_FULL_SERVICE_TEST") != "1",
+    reason="full prove pipeline: set KEYLESS_FULL_SERVICE_TEST=1 (procures a native setup)",
+)
+def test_full_prove_pipeline():
+    state = _state(with_prover=True)
+    tj = make_test_jwt()
+    _register_jwk(state, tj)
+    body = json.dumps(_request_input(tj)).encode()
+    code, _, payload = handle_request(state, "POST", "/v0/prove", body)
+    assert code == 200, payload
+    assert payload["proof"]["protocol"] == "groth16"
+    # TW signature verifies against the advertised pubkey
+    from keyless_zk_tpu.service.training_wheels import proof_and_statement_bytes
+    from keyless_zk_tpu.utils import ed25519
+
+    msg = proof_and_statement_bytes(payload["proof"], int(payload["public_inputs_hash"]))
+    assert ed25519.verify(
+        state.tw_keypair.pk, msg, bytes.fromhex(payload["training_wheels_signature"])
+    )
