@@ -92,13 +92,7 @@ def base64url_decoded_length(
     max_quo = (3 * max_encoded_len) // 4
     q = cs.new_wire()
     r = cs.new_wire()
-    mw = list(m.items())
-
-    def compute(*vals):
-        v = sum(c * val for (_, c), val in zip(mw, vals)) % P
-        return [3 * v // 4, 3 * v % 4]
-
-    cs.hint(compute, [q, r], [w for w, _ in mw])
+    cs.op("quorem", (4,), [q, r], [m.scale(3)])
     cs.constrain_eq(m.scale(3), cs.lc((q, 4)) + cs.lc(r))
     cs.to_bits(cs.lc(r), 2)
     cs.to_bits(cs.lc(q), max(max_quo.bit_length(), 1))

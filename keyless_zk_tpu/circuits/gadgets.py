@@ -31,13 +31,7 @@ def is_zero(cs: ConstraintSystem, x: LinComb) -> int:
     """out = (x == 0) as a 0/1 wire.  IsZero: x*inv = 1 - out, x*out = 0."""
     inv = cs.new_wire()
     out = cs.new_wire()
-    xw = list(x.items())
-
-    def compute(*vals):
-        v = sum(c * val for (_, c), val in zip(xw, vals)) % P
-        return [pow(v, -1, P) if v else 0, 0 if v else 1]
-
-    cs.hint(compute, [inv, out], [w for w, _ in xw])
+    cs.op("iszero", (), [inv, out], [x])
     cs.constrain(x, cs.lc(inv), cs.const(1) - cs.lc(out))
     cs.constrain(x, cs.lc(out), LinComb())
     return out
@@ -54,7 +48,7 @@ def less_than(cs: ConstraintSystem, a: LinComb, b: LinComb, n_bits: int) -> int:
     bits = cs.to_bits(shifted, n_bits + 1)
     # a < b  <=>  top bit of a + 2^n - b is 0
     out = cs.new_wire()
-    cs.hint(lambda t: [1 - t], [out], [bits[n_bits]])
+    cs.op("lc", (), [out], [cs.const(1) - cs.lc(bits[n_bits])])
     cs.constrain_eq(cs.lc(out), cs.const(1) - cs.lc(bits[n_bits]))
     return out
 
@@ -91,13 +85,7 @@ def single_one_array(cs: ConstraintSystem, index: LinComb, length: int) -> list[
     sum(i*out[i]) == index.
     """
     outs = cs.new_wires(length)
-    iw = list(index.items())
-
-    def compute(*vals):
-        v = sum(c * val for (_, c), val in zip(iw, vals)) % P
-        return [1 if i == v else 0 for i in range(length)]
-
-    cs.hint(compute, outs, [w for w, _ in iw])
+    cs.op("onehot", (0,), outs, [index])
     total = LinComb()
     weighted = LinComb()
     for i, o in enumerate(outs):
@@ -122,7 +110,7 @@ def left_array_selector(cs: ConstraintSystem, index: LinComb, length: int) -> li
     for i in range(length):
         run = run + cs.lc(one_hot[i])
         w = cs.new_wire()
-        cs.hint(lambda *vs: [(1 - sum(vs)) % P], [w], one_hot[: i + 1])
+        cs.op("lc", (), [w], [cs.const(1) - run])
         cs.constrain_eq(cs.lc(w), cs.const(1) - run)
         outs.append(w)
     return outs
@@ -135,7 +123,7 @@ def right_array_selector(cs: ConstraintSystem, index: LinComb, length: int) -> l
     run = LinComb()
     for i in range(length):
         w = cs.new_wire()
-        cs.hint(lambda *vs: [sum(vs) % P], [w], one_hot[:i])
+        cs.op("lc", (), [w], [run])
         cs.constrain_eq(cs.lc(w), run)
         outs.append(w)
         run = run + cs.lc(one_hot[i])
@@ -152,11 +140,7 @@ def array_selector(cs: ConstraintSystem, start: LinComb, end: LinComb, length: i
     for i in range(length):
         run = run + cs.lc(s_hot[i]) - cs.lc(e_hot[i])
         w = cs.new_wire()
-        cs.hint(
-            lambda *vs: [(sum(vs[: len(vs) // 2]) - sum(vs[len(vs) // 2 :])) % P],
-            [w],
-            s_hot[: i + 1] + e_hot[: i + 1],
-        )
+        cs.op("lc", (), [w], [run])
         cs.constrain_eq(cs.lc(w), run)
         outs.append(w)
     return outs

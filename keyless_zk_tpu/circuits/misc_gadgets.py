@@ -32,14 +32,8 @@ def ascii_digits_to_scalar(cs: ConstraintSystem, digits: list[LinComb], length: 
     assert n > 1
     assert_is_ascii_digits(cs, digits, length)
 
-    lw = list(length.items())
     index_eq = cs.new_wires(n - 1)
-
-    def eq_hints(*vals):
-        v = sum(c * val for (_, c), val in zip(lw, vals)) % P
-        return [1 if v == i + 1 else 0 for i in range(n - 1)]
-
-    cs.hint(eq_hints, index_eq, [w for w, _ in lw])
+    cs.op("onehot", (1,), index_eq, [length])
     s = cs.const(1)
     acc = digits[0] - cs.const(48)
     total = LinComb()

@@ -69,6 +69,7 @@ class ConstraintSystem:
         self.n_public = 0  # public wires are 1..n_public (must be allocated first)
         self.constraints: list[Constraint] = []
         self._hints: list[tuple] = []  # (fn, out_wires, in_wires)
+        self.ops: list[tuple] = []  # structured witness ops (op, params, outs, in_lcs)
         self._labels: dict[str, int | list[int]] = {}
 
     # ---- wires -----------------------------------------------------------
@@ -128,12 +129,20 @@ class ConstraintSystem:
     # ---- witness hints -----------------------------------------------------
 
     def hint(self, fn, out_wires: list[int], in_wires: list[int]) -> None:
-        """Register fn(*in_values) -> sequence of out values (ints mod p)."""
-        self._hints.append((fn, list(out_wires), list(in_wires)))
+        """Register fn(*in_values) -> sequence of out values (ints mod p).
+
+        Legacy closure form; prefer :meth:`op` — structured ops compile to
+        the native witness engine, closures stay on the Python path.
+        """
+        self.ops.append(("call", (fn,), list(out_wires), [self.lc(w) for w in in_wires]))
+
+    def op(self, opcode: str, params: tuple, out_wires: list[int], in_lcs) -> None:
+        """Register a structured witness op (see compute_witness dispatch)."""
+        self.ops.append((opcode, tuple(params), list(out_wires), list(in_lcs)))
 
     def set_input_hint(self, wires: list[int], name: str) -> None:
         """Wires filled directly from compute_witness(**{name: values})."""
-        self._hints.append((name, list(wires), None))
+        self.ops.append(("input", (name,), list(wires), []))
 
     # ---- evaluation ---------------------------------------------------------
 
@@ -141,21 +150,73 @@ class ConstraintSystem:
         """Run the witness program; returns the full wire vector (ints)."""
         w = [0] * self.n_wires
         w[0] = 1
-        for fn, outs, ins in self._hints:
-            if ins is None:  # input binding
-                vals = inputs[fn]
+
+        def ev(lc: LinComb) -> int:
+            return sum(c * w[i] for i, c in lc.items()) % P
+
+        for opcode, params, outs, in_lcs in self.ops:
+            if opcode == "input":
+                vals = inputs[params[0]]
                 if isinstance(vals, int):
                     vals = [vals]
                 if len(vals) != len(outs):
-                    raise ValueError(f"input '{fn}': expected {len(outs)} values, got {len(vals)}")
+                    raise ValueError(
+                        f"input '{params[0]}': expected {len(outs)} values, got {len(vals)}"
+                    )
                 for o, v in zip(outs, vals):
                     w[o] = v % P
-            else:
-                vals = fn(*(w[i] for i in ins))
+            elif opcode == "mul":
+                w[outs[0]] = ev(in_lcs[0]) * ev(in_lcs[1]) % P
+            elif opcode == "lc":
+                w[outs[0]] = ev(in_lcs[0])
+            elif opcode == "bits":
+                v = ev(in_lcs[0])
+                for j, o in enumerate(outs):
+                    w[o] = (v >> j) & 1
+            elif opcode == "iszero":
+                v = ev(in_lcs[0])
+                w[outs[0]] = pow(v, -1, P) if v else 0
+                w[outs[1]] = 0 if v else 1
+            elif opcode == "onehot":
+                v = ev(in_lcs[0])
+                offset = params[0]
+                for j, o in enumerate(outs):
+                    w[o] = 1 if v == j + offset else 0
+            elif opcode == "quorem":
+                q, r = divmod(ev(in_lcs[0]), params[0])
+                w[outs[0]], w[outs[1]] = q % P, r % P
+            elif opcode == "bigdiv":
+                n_bits, k = params
+                mask = (1 << n_bits) - 1
+                a, b, m = (
+                    sum(ev(in_lcs[j + off]) << (n_bits * j) for j in range(k))
+                    for off in (0, k, 2 * k)
+                )
+                q, r = divmod(a * b, m)
+                for j in range(k):
+                    w[outs[j]] = (q >> (n_bits * j)) & mask
+                    w[outs[k + j]] = (r >> (n_bits * j)) & mask
+            elif opcode == "bigcarry":
+                n_bits, k = params
+                vals = [ev(lc) for lc in in_lcs]
+                av, bv, pv, qv, rv = (vals[i * k : (i + 1) * k] for i in range(5))
+                L = 2 * k - 1
+                conv = [0] * L
+                for i in range(k):
+                    for j in range(k):
+                        conv[i + j] += av[i] * bv[j] - pv[i] * qv[j]
+                c = 0
+                for j in range(L - 1):
+                    c = (conv[j] - (rv[j] if j < k else 0) + c) >> n_bits
+                    w[outs[j]] = c % P
+            elif opcode == "call":
+                vals = params[0](*(ev(lc) for lc in in_lcs))
                 if isinstance(vals, int):
                     vals = [vals]
                 for o, v in zip(outs, vals):
                     w[o] = v % P
+            else:
+                raise ValueError(f"unknown witness op {opcode}")
         return w
 
     def eval_lc(self, lc: LinComb, w: list[int]) -> int:
@@ -184,15 +245,7 @@ class ConstraintSystem:
         """New wire z with constraint a*b = z and hint z = eval(a)*eval(b)."""
         z = self.new_wire()
         self.constrain(a, b, self.lc(z))
-        aw, bw = list(a.items()), list(b.items())
-        wires = [w for w, _ in aw] + [w for w, _ in bw]
-
-        def compute(*vals):
-            va = sum(c * v for (_, c), v in zip(aw, vals[: len(aw)])) % P
-            vb = sum(c * v for (_, c), v in zip(bw, vals[len(aw) :])) % P
-            return [(va * vb) % P]
-
-        self.hint(compute, [z], wires)
+        self.op("mul", (), [z], [a, b])
         return z
 
     def assert_bit(self, w: int) -> None:
@@ -202,13 +255,7 @@ class ConstraintSystem:
     def to_bits(self, x: LinComb, n: int) -> list[int]:
         """n new bit wires (LSB first) with sum(2^i b_i) = x and bit checks."""
         bits = self.new_wires(n)
-        xw = list(x.items())
-
-        def compute(*vals):
-            v = sum(c * val for (_, c), val in zip(xw, vals)) % P
-            return [(v >> i) & 1 for i in range(n)]
-
-        self.hint(compute, bits, [w for w, _ in xw])
+        self.op("bits", (), bits, [x])
         for b in bits:
             self.assert_bit(b)
         acc = LinComb()

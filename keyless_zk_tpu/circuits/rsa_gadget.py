@@ -30,12 +30,7 @@ def materialize(cs: ConstraintSystem, lc: LinComb) -> int:
         if c == 1 and w != 0:
             return w
     out = cs.new_wire()
-    items = list(lc.items())
-    cs.hint(
-        lambda *vs: [sum(c * v for (_, c), v in zip(items, vs)) % P],
-        [out],
-        [w for w, _ in items],
-    )
+    cs.op("lc", (), [out], [lc])
     cs.constrain_eq(cs.lc(out), lc)
     return out
 
@@ -83,18 +78,8 @@ def fp_mul(
     L = 2 * k - 1
     q = cs.new_wires(k)
     r = cs.new_wires(k)
-
-    def div_hint(*vals):
-        av = sum(v << (n_bits * i) for i, v in enumerate(vals[:k]))
-        bv = sum(v << (n_bits * i) for i, v in enumerate(vals[k : 2 * k]))
-        pv = sum(v << (n_bits * i) for i, v in enumerate(vals[2 * k :]))
-        qq, rr = divmod(av * bv, pv)
-        mask = (1 << n_bits) - 1
-        return [(qq >> (n_bits * i)) & mask for i in range(k)] + [
-            (rr >> (n_bits * i)) & mask for i in range(k)
-        ]
-
-    cs.hint(div_hint, q + r, a + b + modulus)
+    limb_lcs = [cs.lc(w) for w in a + b + modulus]
+    cs.op("bigdiv", (n_bits, k), q + r, limb_lcs)
     for w in q + r:
         cs.to_bits(cs.lc(w), n_bits)
 
@@ -126,30 +111,9 @@ def fp_mul(
     # signed carry chain: t_j + c_{j-1} = c_j * 2^n_bits, |c_j| < 2^carry_mag
     carry_mag = n_bits + (k - 1).bit_length() + 2
     carries = cs.new_wires(L - 1)
-
-    def carry_hint(*vals):
-        av, bv, pv, qv, rv = (
-            list(vals[:k]),
-            list(vals[k : 2 * k]),
-            list(vals[2 * k : 3 * k]),
-            list(vals[3 * k : 4 * k]),
-            list(vals[4 * k :]),
-        )
-        conv_ab = [0] * L
-        conv_pq = [0] * L
-        for i in range(k):
-            for j in range(k):
-                conv_ab[i + j] += av[i] * bv[j]
-                conv_pq[i + j] += pv[i] * qv[j]
-        out = []
-        c = 0
-        for j in range(L - 1):
-            tj = conv_ab[j] - conv_pq[j] - (rv[j] if j < k else 0)
-            c = (tj + c) >> n_bits
-            out.append(c % P)
-        return out
-
-    cs.hint(carry_hint, carries, a + b + modulus + q + r)
+    cs.op(
+        "bigcarry", (n_bits, k), carries, [cs.lc(w) for w in a + b + modulus + q + r]
+    )
     prev = LinComb()
     for j in range(L - 1):
         cs.constrain_eq(t[j] + prev, cs.lc((carries[j], 1 << n_bits)))

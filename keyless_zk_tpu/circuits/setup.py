@@ -62,32 +62,37 @@ def _batch_inv(xs: list[int]) -> list[int]:
     return out
 
 
-def _fixed_base_points(scalars: list[int], group: str, device_threshold: int = 512):
-    """[k_i * G] for the G1/G2 generator; batched on device beyond a threshold."""
+def _fixed_base_points(
+    scalars: list[int], group: str, device_threshold: int = 512, chunk: int = 1 << 15
+):
+    """[k_i * G] for the G1/G2 generator; batched on device beyond a threshold.
+
+    Work is cut into fixed-size chunks (padded to `chunk`) so one compiled
+    kernel shape serves any table size and per-launch device memory stays
+    bounded.
+    """
     gen = ref_curve.G1_GEN if group == "g1" else ref_curve.G2_GEN
     ops = ref_curve.G1 if group == "g1" else ref_curve.G2
     if len(scalars) <= device_threshold:
         return [ops.mul(gen, k) for k in scalars]
 
+    import functools
+
+    import jax
     import jax.numpy as jnp
 
     from ..curves.jacobian import G1_CURVE, G2_CURVE
     from ..fields.limbs import LIMB_BITS
 
     curve = G1_CURVE if group == "g1" else G2_CURVE
-    n = len(scalars)
-    limbs = jnp.asarray(ints_to_limbs([k % P for k in scalars]))
-    bx, by, binf = curve.encode_affine([gen])
-    bx = jnp.broadcast_to(bx[0], (n, *bx.shape[1:]))
-    by = jnp.broadcast_to(by[0], (n, *by.shape[1:]))
-    binf = jnp.zeros((n,), bool)
-
-    import functools
-
-    import jax
+    bx0, by0, _ = curve.encode_affine([gen])
 
     @functools.partial(jax.jit, static_argnames="curve")
-    def kernel(limbs, bx, by, binf, *, curve):
+    def kernel(limbs, bx1, by1, *, curve):
+        n = limbs.shape[0]
+        bx = jnp.broadcast_to(bx1[0], (n, *bx1.shape[1:]))
+        by = jnp.broadcast_to(by1[0], (n, *by1.shape[1:]))
+        binf = jnp.zeros((n,), bool)
         nbits = 254
         bit_idx = jnp.arange(nbits - 1, -1, -1)
         limb, off = bit_idx // LIMB_BITS, bit_idx % LIMB_BITS
@@ -98,9 +103,24 @@ def _fixed_base_points(scalars: list[int], group: str, device_threshold: int = 5
             added = curve.add_mixed(acc, bx, by, binf)
             return curve.select(bits[:, i] == 1, added, acc)
 
-        return jax.lax.fori_loop(0, nbits, body, curve.infinity((n,)))
+        acc = jax.lax.fori_loop(0, nbits, body, curve.infinity((n,)))
+        return curve.to_affine(acc)
 
-    return curve.decode_jacobian(kernel(limbs, bx, by, binf, curve=curve))
+    out = []
+    total = len(scalars)
+    for start in range(0, total, chunk):
+        part = scalars[start : start + chunk]
+        pad = chunk - len(part) if total > chunk else 0
+        limbs = jnp.asarray(ints_to_limbs([k % P for k in part] + [0] * pad))
+        x, y, inf = kernel(limbs, bx0, by0, curve=curve)
+        xs = curve.ops.decode(x)
+        ys = curve.ops.decode(y)
+        infs = list(jax.device_get(inf))
+        out.extend(
+            None if i else (xx, yy)
+            for xx, yy, i in list(zip(xs, ys, infs))[: len(part)]
+        )
+    return out
 
 
 @dataclass

@@ -49,6 +49,7 @@ class ProverServiceState:
     # proving backend (None for endpoint-only testing,
     # prover_state.rs:53-78 `new_for_testing`)
     cs: object | None = None
+    witness_prog: object | None = None  # native engine (circuits/witness_engine.py)
     prover: Groth16Prover | None = None
     vk: dict | None = None
     prove_lock: threading.Lock = field(default_factory=threading.Lock)
@@ -84,6 +85,12 @@ class ProverServiceState:
         from ..circuits.setup import groth16_setup
 
         self.cs = build_keyless_circuit(self.keyless_config)
+        try:
+            from ..circuits.witness_engine import CompiledWitnessProgram
+
+            self.witness_prog = CompiledWitnessProgram(self.cs)
+        except Exception:
+            self.witness_prog = None  # no C toolchain: Python witness path
         res = groth16_setup(r1cs_from_cs(self.cs), rng=rng)
         self.prover = Groth16Prover(res.pk)
         self.vk = res.vk
@@ -127,11 +134,21 @@ class ProverServiceState:
             )
 
         with phase("generate_witness"):
-            w = self.cs.compute_witness(**witness_kwargs(signals))
-            bad = self.cs.check_witness(w) if self.config.enable_debug_checks else None
-            if bad is not None:
-                raise InternalError(f"witness violates constraint {bad}")
-            w_np = self.cs.witness_np(w)
+            kw = witness_kwargs(signals)
+            if self.witness_prog is not None:
+                w64 = self.witness_prog.compute_witness(**kw)
+                if self.config.enable_debug_checks:
+                    bad = self.witness_prog.check_witness(w64)
+                    if bad is not None:
+                        raise InternalError(f"witness violates constraint {bad}")
+                w_np = self.witness_prog.witness_limbs(w64)
+            else:
+                w = self.cs.compute_witness(**kw)
+                if self.config.enable_debug_checks:
+                    bad = self.cs.check_witness(w)
+                    if bad is not None:
+                        raise InternalError(f"witness violates constraint {bad}")
+                w_np = self.cs.witness_np(w)
 
         with phase("generate_proof"):
             with self.prove_lock:  # prover_handler.rs:266-268
