@@ -113,6 +113,86 @@ def _g2_std(buf: np.ndarray, n8q: int, q: int) -> tuple:
     return ((c[0], c[1]), (c[2], c[3]))
 
 
+def _write_section(f, s_type: int, payload: bytes) -> None:
+    f.write(struct.pack("<IQ", s_type, len(payload)))
+    f.write(payload)
+
+
+def _g1_bytes(table: G1Table) -> bytes:
+    """Montgomery limb table -> packed 64-byte affine records (0s = inf)."""
+    from ..fields.limbs import limbs_to_bytes_le
+
+    n = table.x.shape[0]
+    xs = np.frombuffer(limbs_to_bytes_le(table.x), np.uint8).reshape(n, 32)
+    ys = np.frombuffer(limbs_to_bytes_le(table.y), np.uint8).reshape(n, 32)
+    rec = np.concatenate([xs, ys], axis=1).copy()
+    rec[np.asarray(table.inf, bool)] = 0
+    return rec.tobytes()
+
+
+def _g2_bytes(table: G2Table) -> bytes:
+    from ..fields.limbs import limbs_to_bytes_le
+
+    n = table.x.shape[0]
+    xs = np.frombuffer(
+        limbs_to_bytes_le(table.x.reshape(2 * n, 16)), np.uint8
+    ).reshape(n, 64)
+    ys = np.frombuffer(
+        limbs_to_bytes_le(table.y.reshape(2 * n, 16)), np.uint8
+    ).reshape(n, 64)
+    rec = np.concatenate([xs, ys], axis=1).copy()
+    rec[np.asarray(table.inf, bool)] = 0
+    return rec.tobytes()
+
+
+def save_zkey(path: str, pk: ProvingKey) -> None:
+    """Write a snarkjs-format .zkey (inverse of load_zkey).
+
+    Makes native setups interoperable with snarkjs/rapidsnark tooling and
+    exercises the same container the reference mmaps (zkey_utils.hpp:13-90).
+    """
+    from ..fields.limbs import limbs_to_bytes_le
+
+    q, r = pk.q, pk.r
+    r_mont = lambda v: ((v << 256) % q).to_bytes(pk.n8q, "little")  # noqa: E731
+
+    def g1_point(pt) -> bytes:
+        if pt is None:
+            return bytes(2 * pk.n8q)
+        return r_mont(pt[0]) + r_mont(pt[1])
+
+    def g2_point(pt) -> bytes:
+        if pt is None:
+            return bytes(4 * pk.n8q)
+        return r_mont(pt[0][0]) + r_mont(pt[0][1]) + r_mont(pt[1][0]) + r_mont(pt[1][1])
+
+    s2 = struct.pack("<I", pk.n8q) + q.to_bytes(pk.n8q, "little")
+    s2 += struct.pack("<I", pk.n8r) + r.to_bytes(pk.n8r, "little")
+    s2 += struct.pack("<III", pk.n_vars, pk.n_public, pk.domain_size)
+    s2 += g1_point(pk.vk_alpha1) + g1_point(pk.vk_beta1) + g2_point(pk.vk_beta2)
+    s2 += g2_point(pk.vk_gamma2) + g1_point(pk.vk_delta1) + g2_point(pk.vk_delta2)
+
+    coef_blob = limbs_to_bytes_le(pk.coef_val)
+    s4 = bytearray(struct.pack("<I", pk.n_coefs))
+    for i, (m, c, s) in enumerate(zip(pk.coef_m, pk.coef_c, pk.coef_s)):
+        s4 += struct.pack("<III", int(m), int(c), int(s))
+        s4 += coef_blob[32 * i : 32 * (i + 1)]
+    s4 = bytes(s4)
+
+    with open(path, "wb") as f:
+        f.write(b"zkey")
+        f.write(struct.pack("<II", 1, 9))
+        _write_section(f, 1, struct.pack("<I", 1))
+        _write_section(f, 2, s2)
+        _write_section(f, 3, b"")  # additional header (unused by the readers)
+        _write_section(f, 4, s4)
+        _write_section(f, 5, _g1_bytes(pk.points_a))
+        _write_section(f, 6, _g1_bytes(pk.points_b1))
+        _write_section(f, 7, _g2_bytes(pk.points_b2))
+        _write_section(f, 8, _g1_bytes(pk.points_c))
+        _write_section(f, 9, _g1_bytes(pk.points_h))
+
+
 def load_zkey(path: str) -> ProvingKey:
     bf = BinFile.load(path, "zkey")
     (protocol,) = struct.unpack_from("<I", bf.section(1), 0)

@@ -1,0 +1,127 @@
+"""Setup procurement: content-addressed circuit setups.
+
+Mirror of the reference's scripts/python/setups pipeline (testing_setup.py:
+102-124): setups are keyed by a checksum of the circuit definition, built
+once, and installed under ~/.local/share/keyless_zk_tpu/setups/<hash> with
+a `default` symlink — but fully native: the circuit compiles in-process and
+the 1-party setup replaces `snarkjs groth16 setup` (no ptau download: the
+powers of tau are sampled directly, which is exactly as (un)trusted as the
+reference's testing setup).
+
+    python -m keyless_zk_tpu.tooling.setup_tool procure-testing-setup
+    python -m keyless_zk_tpu.tooling.setup_tool show
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import inspect
+import json
+import os
+import sys
+
+from ..service.config import DEFAULT_SETUP_ROOT
+
+
+def circuit_checksum(keyless_config) -> str:
+    """Content hash of the circuit definition + parameters (the analog of
+    checksumming circuit/templates/*.circom, testing_setup.py:25-29)."""
+    from ..circuits import (
+        base64_gadget,
+        gadgets,
+        hash_gadget,
+        jwt_gadget,
+        keyless_circuit,
+        misc_gadgets,
+        r1cs,
+        rsa_gadget,
+        sha256_gadget,
+    )
+
+    h = hashlib.sha256()
+    for mod in (
+        r1cs, gadgets, hash_gadget, jwt_gadget, misc_gadgets,
+        rsa_gadget, sha256_gadget, base64_gadget, keyless_circuit,
+    ):
+        h.update(inspect.getsource(mod).encode())
+    h.update(json.dumps(keyless_config.__dict__, sort_keys=True).encode())
+    return h.hexdigest()[:16]
+
+
+def procure(keyless_config=None, root: str = DEFAULT_SETUP_ROOT, force: bool = False) -> str:
+    """Build circuit + run setup + install; returns the setup directory."""
+    import yaml
+
+    from ..circuits.keyless_circuit import KeylessConfig, build_keyless_circuit, to_circuit_config
+    from ..circuits.r1cs_file import r1cs_from_cs, save_r1cs
+    from ..circuits.setup import groth16_setup
+    from ..groth16.zkey import save_zkey
+    from ..utils.logging import Span
+
+    kc = keyless_config or KeylessConfig()
+    key = circuit_checksum(kc)
+    target = os.path.join(root, key)
+    marker = os.path.join(target, ".complete")
+    if os.path.exists(marker) and not force:
+        _set_default(root, key)
+        return target
+
+    os.makedirs(target, exist_ok=True)
+    with Span("BuildCircuit"):
+        cs = build_keyless_circuit(kc)
+    with Span("ExportR1CS"):
+        r = r1cs_from_cs(cs)
+        save_r1cs(os.path.join(target, "main.r1cs"), r)
+    with Span("Groth16Setup"):
+        res = groth16_setup(r)
+    with Span("WriteArtifacts"):
+        save_zkey(os.path.join(target, "prover_key.zkey"), res.pk)
+        with open(os.path.join(target, "verification_key.json"), "w") as f:
+            json.dump(res.vk, f, indent=1)
+        cc = to_circuit_config(kc)
+        with open(os.path.join(target, "circuit_config.yml"), "w") as f:
+            yaml.safe_dump(
+                {
+                    "max_lengths": cc.max_lengths,
+                    "has_input_skip_aud_checks": cc.has_input_skip_aud_checks,
+                },
+                f,
+            )
+        with open(os.path.join(target, "keyless_config.json"), "w") as f:
+            json.dump(kc.__dict__, f, indent=1)
+    open(marker, "w").close()
+    _set_default(root, key)
+    return target
+
+
+def _set_default(root: str, key: str) -> None:
+    link = os.path.join(root, "default")
+    if os.path.islink(link):
+        os.unlink(link)
+    if not os.path.exists(link):
+        os.symlink(key, link)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="keyless-zk-tpu-setup")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    pr = sub.add_parser("procure-testing-setup")
+    pr.add_argument("--root", default=DEFAULT_SETUP_ROOT)
+    pr.add_argument("--force", action="store_true")
+    sub.add_parser("show")
+    args = ap.parse_args(argv)
+
+    if args.cmd == "procure-testing-setup":
+        path = procure(root=args.root, force=args.force)
+        print(path)
+        return 0
+    root = DEFAULT_SETUP_ROOT
+    if os.path.isdir(root):
+        for entry in sorted(os.listdir(root)):
+            print(entry)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

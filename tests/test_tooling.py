@@ -1,0 +1,132 @@
+"""Tooling tests: on-chain VK encoding, vk-diff, release-helper, zkey
+round-trip, span logging."""
+
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+TOY = "/root/reference/prover-service/resources/toy_circuit/"
+needs_toy = pytest.mark.skipif(
+    not os.path.isdir(TOY), reason="reference toy artifacts unavailable"
+)
+
+
+def test_onchain_g2_generator_matches_reference_example():
+    """The on-chain gamma_g2 hex from the reference docs
+    (keyless-common/src/types.rs:43-60) is the compressed G2 generator."""
+    from keyless_zk_tpu.fields import bn254
+    from keyless_zk_tpu.tooling.onchain_vk import compress_g2, decompress_g2
+
+    gen = (bn254.G2_GENERATOR_X, bn254.G2_GENERATOR_Y)
+    expected = (
+        "edf692d95cbdde46ddda5ef7d422436779445c5e66006a42761e1f12efde0018"
+        "c212f3aeb785e49712e7a9353349aaf1255dfb31b7bf60723a480d9293938e19"
+    )
+    assert compress_g2(gen).hex() == expected
+    assert decompress_g2(bytes.fromhex(expected)) == gen
+
+
+def test_g1_compress_roundtrip():
+    from keyless_zk_tpu.curves import ref_curve
+    from keyless_zk_tpu.tooling.onchain_vk import compress_g1, decompress_g1
+
+    for k in (1, 2, 12345, 2**200 + 7):
+        pt = ref_curve.G1.mul(ref_curve.G1_GEN, k)
+        assert decompress_g1(compress_g1(pt)) == pt
+    inf = compress_g1(None)
+    assert decompress_g1(inf) is None
+
+
+def test_g2_compress_roundtrip():
+    from keyless_zk_tpu.curves import ref_curve
+    from keyless_zk_tpu.tooling.onchain_vk import compress_g2, decompress_g2
+
+    for k in (1, 5, 987654321):
+        pt = ref_curve.G2.mul(ref_curve.G2_GEN, k)
+        assert decompress_g2(compress_g2(pt)) == pt
+
+
+@needs_toy
+def test_vk_diff_self_match_and_mismatch():
+    from keyless_zk_tpu.tooling.onchain_vk import snarkjs_vk_to_onchain
+    from keyless_zk_tpu.tooling.vk_diff import diff_vks
+
+    vk = json.load(open(TOY + "toy_vk.json"))
+    onchain = snarkjs_vk_to_onchain(vk)
+    assert diff_vks(vk, onchain) == []
+    # mutated on-chain VK -> mismatch reported
+    bad = json.loads(json.dumps(onchain))
+    bad["data"]["alpha_g1"] = "0x" + "00" * 32
+    assert any("alpha_g1" in d for d in diff_vks(vk, bad))
+
+
+@needs_toy
+def test_release_helper_script(tmp_path):
+    from keyless_zk_tpu.tooling.release_helper import main
+
+    twpk = tmp_path / "twpk.hex"
+    twpk.write_text("0x" + "ab" * 32)
+    out = tmp_path / "script.move"
+    rc = main(
+        [
+            "generate-root-signer-script",
+            "--vk-path", TOY + "toy_vk.json",
+            "--twpk-path", str(twpk),
+            "--out", str(out),
+        ]
+    )
+    assert rc == 0
+    content = out.read_text()
+    assert "keyless_account::new_groth16_verification_key" in content
+    assert 'x"' + "ab" * 32 + '"' in content
+    assert "get_signer_testnet_only" in content
+
+
+@needs_toy
+def test_zkey_save_load_roundtrip(tmp_path):
+    from keyless_zk_tpu.groth16 import load_zkey
+    from keyless_zk_tpu.groth16.zkey import save_zkey
+
+    pk = load_zkey(TOY + "toy_1.zkey")
+    path = str(tmp_path / "rt.zkey")
+    save_zkey(path, pk)
+    pk2 = load_zkey(path)
+    assert (pk2.n_vars, pk2.n_public, pk2.domain_size, pk2.n_coefs) == (
+        pk.n_vars, pk.n_public, pk.domain_size, pk.n_coefs,
+    )
+    assert pk2.vk_alpha1 == pk.vk_alpha1 and pk2.vk_delta2 == pk.vk_delta2
+    assert np.array_equal(pk2.coef_val, pk.coef_val)
+    assert np.array_equal(pk2.coef_m, pk.coef_m)
+    for a, b in ((pk2.points_a, pk.points_a), (pk2.points_h, pk.points_h)):
+        assert np.array_equal(a.x, b.x) and np.array_equal(a.inf, b.inf)
+    assert np.array_equal(pk2.points_b2.x, pk.points_b2.x)
+
+
+def test_span_logging():
+    import sys
+
+    from keyless_zk_tpu.utils.logging import Span, log_event, with_context
+
+    buf = io.StringIO()
+    with with_context(session_id="abc123"):
+        log_event("hello", stream=buf)
+    line = json.loads(buf.getvalue())
+    assert line["message"] == "hello" and line["session_id"] == "abc123"
+
+    # Span writes to stderr; just exercise enter/exit paths
+    with Span("TestSpan", request="r1"):
+        pass
+
+
+def test_setup_tool_checksum_stability():
+    from keyless_zk_tpu.circuits.keyless_circuit import KeylessConfig
+    from keyless_zk_tpu.tooling.setup_tool import circuit_checksum
+
+    a = circuit_checksum(KeylessConfig())
+    b = circuit_checksum(KeylessConfig())
+    assert a == b
+    c = circuit_checksum(KeylessConfig(max_aud_value_len=119))
+    assert c != a
