@@ -78,9 +78,13 @@ class ProverServiceState:
             state.init_prover_from_native_setup()
         return state
 
-    def init_prover_from_native_setup(self, rng=None) -> None:
+    def init_prover_from_native_setup(self, rng=None, persist: bool = False) -> None:
         """Build the keyless circuit and run the native 1-party setup
-        (replaces zkey procurement, scripts/python/setups/testing_setup.py)."""
+        (replaces zkey procurement, scripts/python/setups/testing_setup.py).
+
+        With persist=True the setup goes through the content-addressed
+        store (tooling/setup_tool.py) and is reloaded from its zkey on
+        later startups."""
         from ..circuits.r1cs_file import r1cs_from_cs
         from ..circuits.setup import groth16_setup
 
@@ -91,9 +95,22 @@ class ProverServiceState:
             self.witness_prog = CompiledWitnessProgram(self.cs)
         except Exception:
             self.witness_prog = None  # no C toolchain: Python witness path
-        res = groth16_setup(r1cs_from_cs(self.cs), rng=rng)
-        self.prover = Groth16Prover(res.pk)
-        self.vk = res.vk
+        if persist:
+            import json
+            import os
+
+            from ..groth16.zkey import load_zkey
+            from ..tooling.setup_tool import procure
+
+            setup_dir = procure(self.keyless_config, root=self.config.resources_dir)
+            pk = load_zkey(os.path.join(setup_dir, "prover_key.zkey"))
+            with open(os.path.join(setup_dir, "verification_key.json")) as f:
+                self.vk = json.load(f)
+            self.prover = Groth16Prover(pk)
+        else:
+            res = groth16_setup(r1cs_from_cs(self.cs), rng=rng)
+            self.prover = Groth16Prover(res.pk)
+            self.vk = res.vk
 
     # ---- the prove pipeline (prover_handler.rs:48-152) --------------------
 

@@ -113,7 +113,7 @@ def main(argv=None) -> int:
     )
     if not args.no_prover:
         print("initializing prover (native setup)...", file=sys.stderr)
-        state.init_prover_from_native_setup()
+        state.init_prover_from_native_setup(persist=True)
 
     start_metrics_server(config.metrics_port)
     srv = start_prover_service(state, config.port)
