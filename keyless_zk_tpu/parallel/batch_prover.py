@@ -89,7 +89,12 @@ class BatchProver:
             if not batch:
                 continue
             try:
-                proofs = self.prove_batch([b.witness_limbs for b in batch])
+                # pad to the fixed batch size so one compiled kernel shape
+                # serves every queue state (ragged batches would recompile)
+                wits = [b.witness_limbs for b in batch]
+                while len(wits) < self.max_batch:
+                    wits.append(wits[0])
+                proofs = self.prove_batch(wits)
                 for item, proof in zip(batch, proofs):
                     item.result = proof
             except Exception as e:  # noqa: BLE001 — propagate to every waiter

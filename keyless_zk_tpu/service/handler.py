@@ -21,6 +21,29 @@ CORS_HEADERS = {
     "Access-Control-Allow-Headers": "Content-Type",
 }
 
+_BUILD_INFO_CACHE: dict | None = None
+
+
+def _build_info() -> dict:
+    """Build metadata for /about (aptos-build-info analog)."""
+    global _BUILD_INFO_CACHE
+    if _BUILD_INFO_CACHE is None:
+        import subprocess
+
+        info = {"build_package": "keyless-zk-tpu", "build_version": "0.1.0"}
+        try:
+            commit = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True, text=True, timeout=5,
+                cwd=__file__.rsplit("/", 3)[0],
+            ).stdout.strip()
+            if commit:
+                info["build_commit_hash"] = commit
+        except Exception:
+            pass
+        _BUILD_INFO_CACHE = info
+    return _BUILD_INFO_CACHE
+
 
 def handle_request(state, method: str, path: str, body: bytes) -> tuple[int, dict, dict]:
     """Returns (status, headers, json_payload)."""
@@ -56,6 +79,7 @@ def _route(state, method: str, path: str, body: bytes) -> tuple[int, dict]:
     if method == "GET" and path == "/about":
         # deployment_information.rs:12-60: build info + TW pubkey
         return 200, {
+            **_build_info(),
             **state.deployment_info,
             "training_wheels_public_key": state.tw_keypair.pk.hex(),
         }

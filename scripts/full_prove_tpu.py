@@ -42,7 +42,8 @@ def main() -> int:
     from jwt_fixture import EPK_BLINDER, EPK_BYTES, EXP_DATE, EXP_HORIZON, PEPPER, make_test_jwt
 
     t0 = time.monotonic()
-    state = ProverServiceState.new_for_testing(keyless_config=cfg, with_prover=True)
+    state = ProverServiceState.new_for_testing(keyless_config=cfg)
+    state.init_prover_from_native_setup(persist=True)  # content-addressed cache
     t1 = time.monotonic()
     print(f"setup: {t1 - t0:.1f}s "
           f"(n_vars={state.prover.pk.n_vars}, domain={state.prover.pk.domain_size})",
