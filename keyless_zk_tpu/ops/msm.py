@@ -64,20 +64,42 @@ def _segmented_suffix_totals(keys: jnp.ndarray, pts: JacPoint, curve: JacobianCu
 
     After the scan, the first (leader) position of every equal-key segment
     holds the segment total. Returns (totals, leader_mask).
+
+    The log-step scan runs under lax.fori_loop with a dynamic shift so the
+    compiled graph contains the group law once, not unrolled log(m) times
+    (unrolled EC scans OOM the TPU compiler at production sizes).
     """
     m = keys.shape[0]
     steps = max(m - 1, 1).bit_length()
-    acc = pts
-    for s in range(steps):
-        sh = 1 << s
+    idx = jnp.arange(m)
+
+    def body(s, acc):
+        sh = jnp.left_shift(1, s)
         shifted = jax.tree.map(lambda a: jnp.roll(a, -sh, axis=0), acc)
         same = jnp.roll(keys, -sh) == keys
         # positions within `sh` of the end have no valid partner
-        idx = jnp.arange(m)
         valid = same & (idx < m - sh)
-        acc = curve.select(valid, curve.add(acc, JacPoint(*shifted)), acc)
+        return curve.select(valid, curve.add(acc, JacPoint(*shifted)), acc)
+
+    acc = jax.lax.fori_loop(0, steps, body, pts)
     leader = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
     return acc, leader
+
+
+def suffix_sum_points(curve: JacobianCurve, pts: JacPoint) -> JacPoint:
+    """Inclusive suffix sums: out[i] = sum_{j >= i} pts[j] (Hillis-Steele
+    under fori_loop — one group-law instance in the graph)."""
+    m = pts.x.shape[0]
+    steps = max(m - 1, 1).bit_length()
+    idx = jnp.arange(m)
+
+    def body(s, acc):
+        sh = jnp.left_shift(1, s)
+        shifted = jax.tree.map(lambda a: jnp.roll(a, -sh, axis=0), acc)
+        valid = idx < m - sh
+        return curve.select(valid, curve.add(acc, JacPoint(*shifted)), acc)
+
+    return jax.lax.fori_loop(0, steps, body, pts)
 
 
 @functools.partial(jax.jit, static_argnames="curve")
@@ -103,24 +125,15 @@ def _msm_small(points_x, points_y, points_inf, scalars, *, curve) -> JacPoint:
 
 
 def tree_reduce_points(curve: JacobianCurve, acc: JacPoint, m: int) -> JacPoint:
-    """Log-depth sum of a leading-axis batch of Jacobian points.
+    """Sum of a leading-axis batch of Jacobian points.
 
-    Odd halves are padded with infinity (z = 0), which the group law
-    absorbs, so every add is full-width."""
-    while m > 1:
-        half = (m + 1) // 2
-        lo = JacPoint(*jax.tree.map(lambda a: a[:half], acc))
-        hi = JacPoint(
-            *jax.tree.map(
-                lambda a: jnp.pad(
-                    a[half:m], [(0, 2 * half - m)] + [(0, 0)] * (a.ndim - 1)
-                ),
-                acc,
-            )
-        )
-        acc = curve.add(lo, hi)
-        m = half
-    return JacPoint(*jax.tree.map(lambda a: a[0], acc))
+    Implemented as an inclusive suffix scan (fixed shapes, one group-law
+    instance in the graph) and taking element 0 — log-depth like a tree
+    but without per-level shape changes that bloat the compiled graph."""
+    if m == 1:
+        return JacPoint(*jax.tree.map(lambda a: a[0], acc))
+    total = suffix_sum_points(curve, JacPoint(*jax.tree.map(lambda a: a[:m], acc)))
+    return JacPoint(*jax.tree.map(lambda a: a[0], total))
 
 
 def msm_window_bits(n: int) -> int:
@@ -269,30 +282,26 @@ def _msm_pippenger(
         )
 
         # weighted reduction: sum_b b*B_b = sum_{b>=1} SuffixSum_b
-        bk = jax.tree.map(lambda a: a[:n_buckets], buckets)
-        bk = JacPoint(*bk)
-        m = n_buckets
-        suf = bk
-        s = 1
-        while s < m:
-            shifted = jax.tree.map(lambda a: jnp.roll(a, -s, axis=0), suf)
-            valid = jnp.arange(m) < m - s
-            suf = curve.select(valid, curve.add(suf, JacPoint(*shifted)), suf)
-            s <<= 1
+        bk = JacPoint(*jax.tree.map(lambda a: a[:n_buckets], buckets))
+        suf = suffix_sum_points(curve, bk)
         # now suf[b] = sum_{b'>=b} B_b'; total = sum_{b>=1} suf[b]
         seg = JacPoint(*jax.tree.map(lambda a: a[1:], suf))
-        return tree_reduce_points(curve, seg, m - 1)
+        return tree_reduce_points(curve, seg, n_buckets - 1)
 
     # one traced window_sum instance, mapped over all windows sequentially
     wins = jax.lax.map(window_sum, digits_all)
 
-    # horner from the highest window down
+    # horner from the highest window down, loop-rolled: acc = 2^c acc + W_w
     def win(w):
-        return JacPoint(*jax.tree.map(lambda a: a[w], wins))
+        return JacPoint(
+            *jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, w, axis=0, keepdims=False),
+                wins,
+            )
+        )
 
-    acc = win(n_windows - 1)
-    for w in range(n_windows - 2, -1, -1):
-        for _ in range(c):
-            acc = curve.dbl(acc)
-        acc = curve.add(acc, win(w))
-    return acc
+    def horner(t, acc):
+        acc = jax.lax.fori_loop(0, c, lambda _, a: curve.dbl(a), acc)
+        return curve.add(acc, win(n_windows - 2 - t))
+
+    return jax.lax.fori_loop(0, n_windows - 1, horner, win(n_windows - 1))
