@@ -166,15 +166,29 @@ def _product_cols(a: jnp.ndarray, b: jnp.ndarray, out_cols: int) -> jnp.ndarray:
     (..., L) x (..., L) -> (..., out_cols) u32 columns of 16-bit weight.
     Exact: 16x16-bit products fit u32; each column accumulates <= 2L terms
     of < 2^16, so columns stay < 2^21. Expressed as one outer product plus
-    two one-hot contractions — 3 fat XLA ops (dot_general rides the MXU)
-    instead of a ~100-op pad/concat chain, which keeps XLA:CPU compile
-    times sane and gives the TPU a matmul-shaped inner loop.
+    two one-hot contractions — 3 fat XLA ops instead of a ~100-op
+    pad/concat chain, which keeps XLA:CPU compile times sane.
+
+    The contractions run in f32 so the TPU routes them onto the MXU (u32
+    dot_general falls back to scalar VPU loops, ~30x slower). This is
+    exact: every accumulated value is an integer < 2^21, far inside f32's
+    2^24 exact-integer range; HIGHEST precision forbids bf16 splitting.
     """
     o = a[..., :, None] * b[..., None, :]  # (..., L, L) u32, exact
     t0, t1 = _conv_onehots(a.shape[-1], b.shape[-1], out_cols)
-    lo = jnp.einsum("...ij,ijk->...k", o & MASK, jnp.asarray(t0))
-    hi = jnp.einsum("...ij,ijk->...k", o >> LIMB_BITS, jnp.asarray(t1))
-    return lo + hi
+    lo = jnp.einsum(
+        "...ij,ijk->...k",
+        (o & MASK).astype(jnp.float32),
+        jnp.asarray(t0, dtype=jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    hi = jnp.einsum(
+        "...ij,ijk->...k",
+        (o >> LIMB_BITS).astype(jnp.float32),
+        jnp.asarray(t1, dtype=jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return lo.astype(jnp.uint32) + hi.astype(jnp.uint32)
 
 
 # ---- field ops -------------------------------------------------------------

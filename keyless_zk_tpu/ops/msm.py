@@ -137,13 +137,17 @@ def tree_reduce_points(curve: JacobianCurve, acc: JacPoint, m: int) -> JacPoint:
 
 
 def msm_window_bits(n: int) -> int:
-    """Window size tuned for the vectorized design: few, wide windows.
+    """Window size minimizing total EC adds for this design.
 
-    Unlike the reference's per-point cost model (multiexp.cpp:206-213,
-    log2(n/2) clamped to [2,16]), every extra window here costs a full
-    sorted pass over n points, so we push toward 16-bit windows as soon as
-    the 2^c bucket table is small relative to n."""
-    return max(8, min(16, max(n, 2).bit_length()))
+    Unlike the reference's per-point cost model (multiexp.cpp:206-213),
+    the bucket reduction here is a log-step suffix scan costing c * 2^c
+    adds per window, so the balance point sits lower: minimize
+    ceil(254/c) * (n + c * 2^c) over c."""
+
+    def cost(c: int) -> int:
+        return -(-SCALAR_BITS // c) * (n + c * (1 << c))
+
+    return min(range(4, 17), key=cost)
 
 
 def msm(
