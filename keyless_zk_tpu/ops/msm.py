@@ -31,6 +31,7 @@ scalars need no special casing anywhere.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -40,6 +41,26 @@ from ..curves.jacobian import JacobianCurve, JacPoint
 from ..fields.limbs import LIMB_BITS, NUM_LIMBS
 
 SCALAR_BITS = 254
+
+_PALLAS_G1 = None
+
+
+def _accelerated(curve):
+    """On real TPUs, route G1 through the fused Pallas group-law kernels."""
+    global _PALLAS_G1
+    from ..curves.jacobian import G1_CURVE
+
+    if (
+        curve is G1_CURVE
+        and jax.default_backend() == "tpu"
+        and os.environ.get("KEYLESS_NO_PALLAS") != "1"
+    ):
+        if _PALLAS_G1 is None:
+            from .pallas_curve import PallasG1Curve
+
+            _PALLAS_G1 = PallasG1Curve(G1_CURVE)
+        return _PALLAS_G1
+    return curve
 
 
 def extract_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -171,7 +192,8 @@ def msm(
     if c is None:
         c = msm_window_bits(n)
     return _msm_pippenger(
-        points_x, points_y, points_inf, scalars, curve=curve, c=c, lanes=lanes
+        points_x, points_y, points_inf, scalars,
+        curve=_accelerated(curve), c=c, lanes=lanes,
     )
 
 
