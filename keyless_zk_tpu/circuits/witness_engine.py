@@ -84,25 +84,29 @@ def _u64x4_to_int(a) -> int:
 
 
 def _flatten_lcs(lcs: list[LinComb], mont: bool):
-    """-> (offsets (n,2) int64, wires int32, coefs (t,4) uint64)."""
+    """-> (offsets (n,2) int64, wires int32, coefs (t,4) uint64).
+
+    Coefficient conversion is memoized: circuits reuse a small set of
+    distinct coefficients (1, powers of two, round constants) across
+    millions of terms, so the bigint work collapses to the distinct set.
+    """
+    total = sum(len(lc) for lc in lcs)
     offsets = np.zeros((len(lcs), 2), dtype=np.int64)
-    wires: list[int] = []
-    coefs: list[tuple] = []
+    wires = np.zeros(total, dtype=np.int32)
+    coefs = np.zeros((total, 4), dtype=np.uint64)
+    memo: dict[int, tuple] = {}
     pos = 0
     for i, lc in enumerate(lcs):
-        items = list(lc.items())
-        offsets[i] = (pos, len(items))
-        for w, c in items:
-            wires.append(w)
-            coefs.append(_int_to_u64x4(c * R256 % P if mont else c))
-        pos += len(items)
-    return (
-        offsets,
-        np.asarray(wires, dtype=np.int32) if wires else np.zeros(0, np.int32),
-        np.asarray(coefs, dtype=np.uint64).reshape(-1, 4)
-        if coefs
-        else np.zeros((0, 4), np.uint64),
-    )
+        offsets[i] = (pos, len(lc))
+        for w, c in lc.items():
+            conv = memo.get(c)
+            if conv is None:
+                conv = _int_to_u64x4(c * R256 % P if mont else c)
+                memo[c] = conv
+            wires[pos] = w
+            coefs[pos] = conv
+            pos += 1
+    return offsets, wires, coefs
 
 
 class CompiledWitnessProgram:
