@@ -22,6 +22,10 @@ CPU_BASELINE_MS = 100.0
 
 
 def main() -> None:
+    from keyless_zk_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
 
     from keyless_zk_tpu.curves.jacobian import G1_CURVE

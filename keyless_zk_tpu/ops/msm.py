@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..curves.jacobian import JacobianCurve, JacPoint
+from .pallas_curve import _sel
 from ..fields.limbs import LIMB_BITS, NUM_LIMBS
 
 SCALAR_BITS = 254
@@ -191,10 +192,166 @@ def msm(
         return _msm_small(points_x, points_y, points_inf, scalars, curve=curve)
     if c is None:
         c = msm_window_bits(n)
+    acc_curve = _accelerated(curve)
+    if acc_curve is not curve:  # TPU G1: fused Pallas chunk-scan path
+        return _msm_pippenger_fused(
+            points_x, points_y, points_inf, scalars,
+            curve=acc_curve, c=c, lanes=lanes,
+        )
     return _msm_pippenger(
         points_x, points_y, points_inf, scalars,
-        curve=_accelerated(curve), c=c, lanes=lanes,
+        curve=curve, c=c, lanes=lanes,
     )
+
+
+def _weighted_bucket_total(curve: JacobianCurve, buckets: JacPoint, n_buckets: int) -> JacPoint:
+    """sum_{b>=1} b * B_b via the suffix-scan identity (multiexp.cpp:132-180)."""
+    bk = JacPoint(*jax.tree.map(lambda a: a[:n_buckets], buckets))
+    suf = suffix_sum_points(curve, bk)
+    seg = JacPoint(*jax.tree.map(lambda a: a[1:], suf))
+    return tree_reduce_points(curve, seg, n_buckets - 1)
+
+
+def _horner_windows(curve: JacobianCurve, wins: JacPoint, n_windows: int, c: int) -> JacPoint:
+    """acc = 2^c * acc + W_w from the highest window down, loop-rolled."""
+
+    def win(w):
+        return JacPoint(
+            *jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, w, axis=0, keepdims=False),
+                wins,
+            )
+        )
+
+    def horner(t, acc):
+        acc = jax.lax.fori_loop(0, c, lambda _, a: curve.dbl(a), acc)
+        return curve.add(acc, win(n_windows - 2 - t))
+
+    return jax.lax.fori_loop(0, n_windows - 1, horner, win(n_windows - 1))
+
+
+@functools.partial(jax.jit, static_argnames=("curve", "c", "lanes"))
+def _msm_pippenger_fused(
+    points_x: jnp.ndarray,
+    points_y: jnp.ndarray,
+    points_inf: jnp.ndarray,
+    scalars: jnp.ndarray,
+    *,
+    curve: JacobianCurve,
+    c: int,
+    lanes: int,
+) -> JacPoint:
+    """Pippenger with the chunk scan fused into one Pallas kernel (G1/TPU).
+
+    Differs from `_msm_pippenger` in stage fusion: the L-step fori_loop of
+    (slice + mixed add + scatter) becomes a single `pallas_msm.window_scan`
+    call over limb-major data, the bucket scatter runs once per window over
+    the dense emit buffer, and the boundary merge + weighted bucket
+    reduction run as two more fused kernels — everything stays limb-major
+    end to end, with no per-step relayouts.
+    """
+    from . import pallas_msm
+    from .pallas_curve import TILE
+
+    n = scalars.shape[0]
+    # one kernel tile of lanes: the scan kernel runs the whole stream as
+    # grid steps either way, and narrow V keeps the boundary sequences (2V
+    # per window) and their VMEM-stacked kernel tensors small
+    V = min(lanes, TILE)
+    L = -(-n // V)
+    pad = V * L - n
+
+    digits_all = extract_digits(scalars, c)  # (W, n)
+    n_windows = digits_all.shape[0]
+    # pad the bucket table to the reduction kernel's 128-lane granularity;
+    # extra buckets stay at infinity and contribute nothing
+    n_buckets = max(1 << c, 128)
+    DUMP = n_buckets
+
+    # master limb-major tables with a sentinel infinity column at index n
+    pxm = jnp.concatenate([points_x, jnp.zeros((1, NUM_LIMBS), points_x.dtype)]).T
+    pym = jnp.concatenate([points_y, jnp.zeros((1, NUM_LIMBS), points_y.dtype)]).T
+    pinf_ext = jnp.concatenate([points_inf, jnp.ones((1,), bool)])
+
+    def window_scan_phase(digits):
+        # lax primitives instead of jnp.argsort/take/where: their jitted
+        # wrappers emit closed_call jaxprs that trip a jax-0.9 lowering-
+        # cache KeyError when a second MSM shape is traced in one process
+        iota = jax.lax.iota(jnp.int32, digits.shape[0])
+        keys_sorted, order = jax.lax.sort((digits, iota), num_keys=1, is_stable=True)
+        if pad:
+            # padding sorts ahead of every real key as -1 / sentinel column n
+            full_idx = jnp.concatenate([jnp.full((pad,), n, order.dtype), order])
+            keys_full = jnp.concatenate(
+                [jnp.full((pad,), -1, keys_sorted.dtype), keys_sorted]
+            )
+        else:
+            full_idx, keys_full = order, keys_sorted
+        idx_sm = full_idx.reshape(V, L).T  # step-major (L, V)
+        keys_sm = keys_full.reshape(V, L).T
+        flat = idx_sm.reshape(-1)
+        gx = pxm[:, flat].reshape(NUM_LIMBS, L, V).transpose(1, 0, 2)
+        gy = pym[:, flat].reshape(NUM_LIMBS, L, V).transpose(1, 0, 2)
+        ginf = pinf_ext[flat].reshape(L, V) | (keys_sm == 0)
+
+        return pallas_msm.window_scan(keys_sm, gx, gy, ginf)
+
+    # phase 1, per window: sort + gather + fused chunk scan
+    (ekey, ex, ey, ez, hkey, hx, hy, hz, tkey, tx, ty, tz) = jax.lax.map(
+        window_scan_phase, digits_all
+    )
+    Wn = n_windows
+
+    # phase 2, batched across windows.
+    # global bucket tables (16, Wn*(nb+1)): window w owns slots
+    # [w*(nb+1), (w+1)*(nb+1)); each window's last slot is its dump.
+    # interior runs hit each bucket at most once, so plain .set is
+    # race-free; z == 0 encodes infinity, so all-zero tables start empty.
+    stride = n_buckets + 1
+    win_id = jnp.arange(Wn, dtype=jnp.int32)
+    bx = jnp.zeros((NUM_LIMBS, Wn * stride), jnp.uint32)
+    by = jnp.zeros_like(bx)
+    bz = jnp.zeros_like(bx)
+    base = (win_id * stride)[:, None, None]
+    eidx = (base + _sel(ekey >= 0, ekey, DUMP)).reshape(-1)
+
+    def flat_e(a):  # (Wn, L, 16, V) -> (16, Wn*L*V) matching eidx order
+        return a.transpose(2, 0, 1, 3).reshape(NUM_LIMBS, Wn * L * V)
+
+    bx = bx.at[:, eidx].set(flat_e(ex))
+    by = by.at[:, eidx].set(flat_e(ey))
+    bz = bz.at[:, eidx].set(flat_e(ez))
+
+    # boundary sequences, one per window: head_0, tail_0, head_1, ...
+    bkeys = jnp.stack([hkey.reshape(Wn, V), tkey.reshape(Wn, V)], axis=2).reshape(Wn, 2 * V)
+
+    def interleave(h, t):  # (Wn, 16, 1, V) x2 -> (Wn, 16, 2V)
+        return jnp.stack(
+            [h.reshape(Wn, NUM_LIMBS, V), t.reshape(Wn, NUM_LIMBS, V)], axis=3
+        ).reshape(Wn, NUM_LIMBS, 2 * V)
+
+    bkeys = jax.lax.cummax(bkeys, axis=1)  # fill -1/-2 sentinels; points are inf
+    mx, my, mz = pallas_msm.boundary_merge(
+        bkeys, interleave(hx, tx), interleave(hy, ty), interleave(hz, tz)
+    )
+    leader = jnp.concatenate(
+        [jnp.ones((Wn, 1), bool), bkeys[:, 1:] != bkeys[:, :-1]], axis=1
+    )
+    bidx = (base[:, 0] + _sel(leader & (bkeys > 0), bkeys, DUMP)).reshape(-1)
+    bx = bx.at[:, bidx].set(mx.transpose(1, 0, 2).reshape(NUM_LIMBS, Wn * 2 * V))
+    by = by.at[:, bidx].set(my.transpose(1, 0, 2).reshape(NUM_LIMBS, Wn * 2 * V))
+    bz = bz.at[:, bidx].set(mz.transpose(1, 0, 2).reshape(NUM_LIMBS, Wn * 2 * V))
+
+    def per_window(a):  # (16, Wn*(nb+1)) -> (Wn, 16, nb) without dump slots
+        return a.reshape(NUM_LIMBS, Wn, stride).transpose(1, 0, 2)[:, :, :n_buckets]
+
+    wx, wy, wz = pallas_msm.weighted_bucket_total(
+        per_window(bx), per_window(by), per_window(bz)
+    )
+
+    # phase 3: one fused horner kernel sums 2^(c*w)-scaled window totals
+    tx_, ty_, tz_ = pallas_msm.horner_total(wx, wy, wz, c)
+    return JacPoint(tx_, ty_, tz_)
 
 
 @functools.partial(jax.jit, static_argnames=("curve", "c", "lanes"))
@@ -261,10 +418,10 @@ def _msm_pippenger(
             emit = ~same
             # route finished run: head runs park in head_*, interior runs scatter
             to_head = emit & is_head
-            head_key = jnp.where(to_head, cur_key, head_key)
+            head_key = _sel(to_head, cur_key, head_key)
             head_pt = curve.select(to_head, acc, head_pt)
             to_bucket = emit & ~is_head
-            idx = jnp.where(to_bucket, cur_key, DUMP)
+            idx = _sel(to_bucket, cur_key, DUMP)
             bk = JacPoint(
                 bk.x.at[idx].set(acc.x),
                 bk.y.at[idx].set(acc.y),
@@ -283,9 +440,9 @@ def _msm_pippenger(
 
         # final run of each lane: if the chunk was a single run it is a head,
         # otherwise a tail.
-        tail_key = jnp.where(is_head, -1, cur_key)
+        tail_key = _sel(is_head, -1, cur_key)
         tail_pt = curve.select(is_head, curve.infinity((V,)), acc)
-        head_key = jnp.where(is_head, cur_key, head_key)
+        head_key = _sel(is_head, cur_key, head_key)
         head_pt = curve.select(is_head, acc, head_pt)
 
         # boundary sequence in global sorted order: head_0, tail_0, head_1, ...
@@ -300,7 +457,7 @@ def _msm_pippenger(
         # runs are contiguous; their points are infinity, so they add nothing.
         bkeys = jax.lax.cummax(bkeys)
         totals, leader = _segmented_suffix_totals(bkeys, bpts, curve)
-        idx = jnp.where(leader & (bkeys > 0), bkeys, DUMP)
+        idx = _sel(leader & (bkeys > 0), bkeys, DUMP)
         buckets = JacPoint(
             buckets.x.at[idx].set(totals.x),
             buckets.y.at[idx].set(totals.y),
@@ -308,26 +465,8 @@ def _msm_pippenger(
         )
 
         # weighted reduction: sum_b b*B_b = sum_{b>=1} SuffixSum_b
-        bk = JacPoint(*jax.tree.map(lambda a: a[:n_buckets], buckets))
-        suf = suffix_sum_points(curve, bk)
-        # now suf[b] = sum_{b'>=b} B_b'; total = sum_{b>=1} suf[b]
-        seg = JacPoint(*jax.tree.map(lambda a: a[1:], suf))
-        return tree_reduce_points(curve, seg, n_buckets - 1)
+        return _weighted_bucket_total(curve, buckets, n_buckets)
 
     # one traced window_sum instance, mapped over all windows sequentially
     wins = jax.lax.map(window_sum, digits_all)
-
-    # horner from the highest window down, loop-rolled: acc = 2^c acc + W_w
-    def win(w):
-        return JacPoint(
-            *jax.tree.map(
-                lambda a: jax.lax.dynamic_index_in_dim(a, w, axis=0, keepdims=False),
-                wins,
-            )
-        )
-
-    def horner(t, acc):
-        acc = jax.lax.fori_loop(0, c, lambda _, a: curve.dbl(a), acc)
-        return curve.add(acc, win(n_windows - 2 - t))
-
-    return jax.lax.fori_loop(0, n_windows - 1, horner, win(n_windows - 1))
+    return _horner_windows(curve, wins, n_windows, c)

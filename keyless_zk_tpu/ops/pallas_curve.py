@@ -29,6 +29,26 @@ TILE = 1024
 
 _INTERPRET = False
 
+
+def _sel(c, a, b):
+    """Elementwise select via lax.select_n directly.
+
+    jnp.where routes through an api.jit wrapper whose closed_call jaxpr
+    trips a jax-0.9 lowering-cache KeyError when a second Pallas kernel
+    containing the identical call is lowered in the same process — so
+    kernel code must not use jnp.where.
+    """
+    dt = jnp.result_type(a, b)
+    c = jnp.asarray(c)
+    a = jnp.asarray(a, dt)
+    b = jnp.asarray(b, dt)
+    shape = jnp.broadcast_shapes(c.shape, a.shape, b.shape)
+    return jax.lax.select(
+        jnp.broadcast_to(c, shape),
+        jnp.broadcast_to(a, shape),
+        jnp.broadcast_to(b, shape),
+    )
+
 Q = bn254.Q
 _P_LIMBS = [int(x) for x in int_to_limbs(Q)]
 _R = 1 << (LIMB_BITS * NUM_LIMBS)
@@ -60,7 +80,7 @@ def _csub_p(limbs: list) -> list:
         carry = v >> LIMB_BITS
     geq = carry if overflow is None else carry + overflow
     geq = geq >= 1
-    return [jnp.where(geq, d, r) for d, r in zip(diff, res)]
+    return [_sel(geq, d, r) for d, r in zip(diff, res)]
 
 
 def _fadd(a: list, b: list) -> list:
@@ -123,7 +143,7 @@ def _is_zero(a: list):
 
 
 def _select(mask, a: list, b: list) -> list:
-    return [jnp.where(mask, x, y) for x, y in zip(a, b)]
+    return [_sel(mask, x, y) for x, y in zip(a, b)]
 
 
 def _zero_like(a: list) -> list:
@@ -147,14 +167,13 @@ def _dbl(x1, y1, z1):
     return x3, y3, z3
 
 
-def _madd_kernel(ax_ref, ay_ref, az_ref, qx_ref, qy_ref, qinf_ref, ox_ref, oy_ref, oz_ref):
-    x1 = [ax_ref[i, :] for i in range(NUM_LIMBS)]
-    y1 = [ay_ref[i, :] for i in range(NUM_LIMBS)]
-    z1 = [az_ref[i, :] for i in range(NUM_LIMBS)]
-    x2 = [qx_ref[i, :] for i in range(NUM_LIMBS)]
-    y2 = [qy_ref[i, :] for i in range(NUM_LIMBS)]
-    q_inf = qinf_ref[0, :] != 0
+def _madd_core(x1, y1, z1, x2, y2, q_inf):
+    """Complete mixed add on limb lists: (Jacobian acc) + (affine q, inf mask).
 
+    Returns limb lists (x3, y3, z3) with every edge case (either input at
+    infinity, P == Q doubling, P == -Q cancellation) mask-resolved —
+    shared by the standalone madd kernel and the fused MSM scan kernel.
+    """
     # madd-2007-bl (jacobian.py add_mixed)
     z1z1 = _fsqr(z1)
     u2 = _fmul(x2, z1z1)
@@ -180,27 +199,39 @@ def _madd_kernel(ax_ref, ay_ref, az_ref, qx_ref, qy_ref, qinf_ref, ox_ref, oy_re
     one = [jnp.full_like(x2[0], c) for c in _MONT_ONE]
     q_z = _select(q_inf, _zero_like(one), one)
 
+    ox, oy, oz = [], [], []
     for i in range(NUM_LIMBS):
-        xo = jnp.where(take_dbl, dx[i], x3[i])
-        yo = jnp.where(take_dbl, dy[i], y3[i])
-        zo = jnp.where(take_dbl, dz[i], z3[i])
-        xo = jnp.where(p_inf, x2[i], xo)
-        yo = jnp.where(p_inf, y2[i], yo)
-        zo = jnp.where(p_inf, q_z[i], zo)
-        ox_ref[i, :] = jnp.where(q_inf & ~p_inf, x1[i], xo)
-        oy_ref[i, :] = jnp.where(q_inf & ~p_inf, y1[i], yo)
-        oz_ref[i, :] = jnp.where(q_inf & ~p_inf, z1[i], zo)
+        xo = _sel(take_dbl, dx[i], x3[i])
+        yo = _sel(take_dbl, dy[i], y3[i])
+        zo = _sel(take_dbl, dz[i], z3[i])
+        xo = _sel(p_inf, x2[i], xo)
+        yo = _sel(p_inf, y2[i], yo)
+        zo = _sel(p_inf, q_z[i], zo)
+        ox.append(_sel(q_inf & ~p_inf, x1[i], xo))
+        oy.append(_sel(q_inf & ~p_inf, y1[i], yo))
+        oz.append(_sel(q_inf & ~p_inf, z1[i], zo))
+    return ox, oy, oz
 
 
-def _add_kernel(ax_ref, ay_ref, az_ref, bx_ref, by_ref, bz_ref, ox_ref, oy_ref, oz_ref):
-    """Full Jacobian + Jacobian add (add-2007-bl; jacobian.py add)."""
+def _madd_kernel(ax_ref, ay_ref, az_ref, qx_ref, qy_ref, qinf_ref, ox_ref, oy_ref, oz_ref):
     x1 = [ax_ref[i, :] for i in range(NUM_LIMBS)]
     y1 = [ay_ref[i, :] for i in range(NUM_LIMBS)]
     z1 = [az_ref[i, :] for i in range(NUM_LIMBS)]
-    x2 = [bx_ref[i, :] for i in range(NUM_LIMBS)]
-    y2 = [by_ref[i, :] for i in range(NUM_LIMBS)]
-    z2 = [bz_ref[i, :] for i in range(NUM_LIMBS)]
+    x2 = [qx_ref[i, :] for i in range(NUM_LIMBS)]
+    y2 = [qy_ref[i, :] for i in range(NUM_LIMBS)]
+    q_inf = qinf_ref[0, :] != 0
 
+    ox, oy, oz = _madd_core(x1, y1, z1, x2, y2, q_inf)
+    for i in range(NUM_LIMBS):
+        ox_ref[i, :] = ox[i]
+        oy_ref[i, :] = oy[i]
+        oz_ref[i, :] = oz[i]
+
+
+def _add_core(x1, y1, z1, x2, y2, z2):
+    """Complete Jacobian + Jacobian add on limb lists (add-2007-bl), every
+    edge case mask-resolved; shared by the add kernel and the fused MSM
+    reduction kernels."""
     z1z1 = _fsqr(z1)
     z2z2 = _fsqr(z2)
     u1 = _fmul(x1, z2z2)
@@ -227,16 +258,34 @@ def _add_kernel(ax_ref, ay_ref, az_ref, bx_ref, by_ref, bz_ref, ox_ref, oy_ref, 
     take_dbl = h_zero & r_zero
     dx, dy, dz = _dbl(x1, y1, z1)
 
+    ox, oy, oz = [], [], []
     for i in range(NUM_LIMBS):
-        xo = jnp.where(take_dbl, dx[i], x3[i])
-        yo = jnp.where(take_dbl, dy[i], y3[i])
-        zo = jnp.where(take_dbl, dz[i], z3[i])
-        xo = jnp.where(p_inf, x2[i], xo)
-        yo = jnp.where(p_inf, y2[i], yo)
-        zo = jnp.where(p_inf, z2[i], zo)
-        ox_ref[i, :] = jnp.where(q_inf & ~p_inf, x1[i], xo)
-        oy_ref[i, :] = jnp.where(q_inf & ~p_inf, y1[i], yo)
-        oz_ref[i, :] = jnp.where(q_inf & ~p_inf, z1[i], zo)
+        xo = _sel(take_dbl, dx[i], x3[i])
+        yo = _sel(take_dbl, dy[i], y3[i])
+        zo = _sel(take_dbl, dz[i], z3[i])
+        xo = _sel(p_inf, x2[i], xo)
+        yo = _sel(p_inf, y2[i], yo)
+        zo = _sel(p_inf, z2[i], zo)
+        ox.append(_sel(q_inf & ~p_inf, x1[i], xo))
+        oy.append(_sel(q_inf & ~p_inf, y1[i], yo))
+        oz.append(_sel(q_inf & ~p_inf, z1[i], zo))
+    return ox, oy, oz
+
+
+def _add_kernel(ax_ref, ay_ref, az_ref, bx_ref, by_ref, bz_ref, ox_ref, oy_ref, oz_ref):
+    """Full Jacobian + Jacobian add (add-2007-bl; jacobian.py add)."""
+    x1 = [ax_ref[i, :] for i in range(NUM_LIMBS)]
+    y1 = [ay_ref[i, :] for i in range(NUM_LIMBS)]
+    z1 = [az_ref[i, :] for i in range(NUM_LIMBS)]
+    x2 = [bx_ref[i, :] for i in range(NUM_LIMBS)]
+    y2 = [by_ref[i, :] for i in range(NUM_LIMBS)]
+    z2 = [bz_ref[i, :] for i in range(NUM_LIMBS)]
+
+    ox, oy, oz = _add_core(x1, y1, z1, x2, y2, z2)
+    for i in range(NUM_LIMBS):
+        ox_ref[i, :] = ox[i]
+        oy_ref[i, :] = oy[i]
+        oz_ref[i, :] = oz[i]
 
 
 def _dbl_kernel(ax_ref, ay_ref, az_ref, ox_ref, oy_ref, oz_ref):
