@@ -273,26 +273,25 @@ def _msm_pippenger_fused(
     pym = jnp.concatenate([points_y, jnp.zeros((1, NUM_LIMBS), points_y.dtype)]).T
     pinf_ext = jnp.concatenate([points_inf, jnp.ones((1,), bool)])
 
+    # pad before sorting: -1 keys sort to the front, their index hits the
+    # sentinel infinity column n of the master tables
+    pad_keys = jnp.full((pad,), -1, jnp.int32)
+    pad_idx = jnp.full((pad,), n, jnp.int32)
+    iota = jax.lax.iota(jnp.int32, n)
+
     def window_scan_phase(digits):
         # lax primitives instead of jnp.argsort/take/where: their jitted
         # wrappers emit closed_call jaxprs that trip a jax-0.9 lowering-
         # cache KeyError when a second MSM shape is traced in one process
-        iota = jax.lax.iota(jnp.int32, digits.shape[0])
-        keys_sorted, order = jax.lax.sort((digits, iota), num_keys=1, is_stable=True)
-        if pad:
-            # padding sorts ahead of every real key as -1 / sentinel column n
-            full_idx = jnp.concatenate([jnp.full((pad,), n, order.dtype), order])
-            keys_full = jnp.concatenate(
-                [jnp.full((pad,), -1, keys_sorted.dtype), keys_sorted]
-            )
-        else:
-            full_idx, keys_full = order, keys_sorted
-        idx_sm = full_idx.reshape(V, L).T  # step-major (L, V)
-        keys_sm = keys_full.reshape(V, L).T
-        flat = idx_sm.reshape(-1)
-        gx = pxm[:, flat].reshape(NUM_LIMBS, L, V).transpose(1, 0, 2)
-        gy = pym[:, flat].reshape(NUM_LIMBS, L, V).transpose(1, 0, 2)
-        ginf = pinf_ext[flat].reshape(L, V) | (keys_sm == 0)
+        keys_p = jnp.concatenate([pad_keys, digits]) if pad else digits
+        idx_p = jnp.concatenate([pad_idx, iota]) if pad else iota
+        keys_sorted, order = jax.lax.sort((keys_p, idx_p), num_keys=1, is_stable=True)
+        # step-major flattening: column t*TILE + v = sorted element v*L + t
+        flat = order.reshape(V, L).T.reshape(1, V * L)
+        keys_sm = keys_sorted.reshape(V, L).T.reshape(1, V * L)
+        gx = pxm[:, flat[0]]  # (16, L*V), already in kernel layout
+        gy = pym[:, flat[0]]
+        ginf = pinf_ext[flat] | (keys_sm == 0)
 
         return pallas_msm.window_scan(keys_sm, gx, gy, ginf)
 
@@ -315,8 +314,8 @@ def _msm_pippenger_fused(
     base = (win_id * stride)[:, None, None]
     eidx = (base + _sel(ekey >= 0, ekey, DUMP)).reshape(-1)
 
-    def flat_e(a):  # (Wn, L, 16, V) -> (16, Wn*L*V) matching eidx order
-        return a.transpose(2, 0, 1, 3).reshape(NUM_LIMBS, Wn * L * V)
+    def flat_e(a):  # (Wn, 16, L*V) -> (16, Wn*L*V) matching eidx order
+        return a.transpose(1, 0, 2).reshape(NUM_LIMBS, Wn * L * V)
 
     bx = bx.at[:, eidx].set(flat_e(ex))
     by = by.at[:, eidx].set(flat_e(ey))

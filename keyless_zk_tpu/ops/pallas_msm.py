@@ -131,15 +131,15 @@ def _scan_kernel(
     tkey_ref, tx_ref, ty_ref, tz_ref,
     cur_key, accx, accy, accz, is_head, head_key,
 ):
-    t = pl.program_id(1)
-    L = pl.num_programs(1)
+    t = pl.program_id(0)
+    L = pl.num_programs(0)
     first = t == 0
     last = t == L - 1
 
-    k = keys_ref[0, 0, :]  # (TILE,) i32
-    x2 = [px_ref[0, i, :] for i in range(NUM_LIMBS)]
-    y2 = [py_ref[0, i, :] for i in range(NUM_LIMBS)]
-    q_inf = pinf_ref[0, 0, :] != 0
+    k = keys_ref[0, :]  # (TILE,) i32
+    x2 = [px_ref[i, :] for i in range(NUM_LIMBS)]
+    y2 = [py_ref[i, :] for i in range(NUM_LIMBS)]
+    q_inf = pinf_ref[0, :] != 0
 
     prev_key = cur_key[0, :]
     x1 = [accx[i, :] for i in range(NUM_LIMBS)]
@@ -158,16 +158,16 @@ def _scan_kernel(
     new_hkey = _sel(first, -2, _sel(to_head, prev_key, prev_hkey))
     head_key[0, :] = new_hkey
     for i in range(NUM_LIMBS):
-        hx_ref[i, 0, :] = _sel(first, 0, _sel(to_head, x1[i], hx_ref[i, 0, :]))
-        hy_ref[i, 0, :] = _sel(first, 0, _sel(to_head, y1[i], hy_ref[i, 0, :]))
-        hz_ref[i, 0, :] = _sel(first, 0, _sel(to_head, z1[i], hz_ref[i, 0, :]))
+        hx_ref[i, :] = _sel(first, 0, _sel(to_head, x1[i], hx_ref[i, :]))
+        hy_ref[i, :] = _sel(first, 0, _sel(to_head, y1[i], hy_ref[i, :]))
+        hz_ref[i, :] = _sel(first, 0, _sel(to_head, z1[i], hz_ref[i, :]))
 
     to_bucket = emit & ~was_head
-    ekey_ref[0, 0, :] = _sel(to_bucket, prev_key, -1)
+    ekey_ref[0, :] = _sel(to_bucket, prev_key, -1)
     for i in range(NUM_LIMBS):
-        ex_ref[0, i, :] = x1[i]
-        ey_ref[0, i, :] = y1[i]
-        ez_ref[0, i, :] = z1[i]
+        ex_ref[i, :] = x1[i]
+        ey_ref[i, :] = y1[i]
+        ez_ref[i, :] = z1[i]
 
     # int32 select: Mosaic cannot legalize selects between i1 vectors
     now_head_i = _sel(first, 1, (was_head & same).astype(jnp.int32))
@@ -193,39 +193,35 @@ def _scan_kernel(
         hkey_ref[0, :] = _sel(final_head, k, hkey2)
         for i in range(NUM_LIMBS):
             ax, ay, az = accx[i, :], accy[i, :], accz[i, :]
-            tx_ref[i, 0, :] = _sel(final_head, 0, ax)
-            ty_ref[i, 0, :] = _sel(final_head, 0, ay)
-            tz_ref[i, 0, :] = _sel(final_head, 0, az)
-            hx_ref[i, 0, :] = _sel(final_head, ax, hx_ref[i, 0, :])
-            hy_ref[i, 0, :] = _sel(final_head, ay, hy_ref[i, 0, :])
-            hz_ref[i, 0, :] = _sel(final_head, az, hz_ref[i, 0, :])
+            tx_ref[i, :] = _sel(final_head, 0, ax)
+            ty_ref[i, :] = _sel(final_head, 0, ay)
+            tz_ref[i, :] = _sel(final_head, 0, az)
+            hx_ref[i, :] = _sel(final_head, ax, hx_ref[i, :])
+            hy_ref[i, :] = _sel(final_head, ay, hy_ref[i, :])
+            hz_ref[i, :] = _sel(final_head, az, hz_ref[i, :])
 
 
 @functools.lru_cache(maxsize=8)
-def _build_scan(n_lane_tiles: int, L: int):
-    V = n_lane_tiles * TILE
-    # key-like arrays are (L, 1, V) so the block's last-two dims (1, TILE)
-    # satisfy Mosaic's divisible-or-full rule for any L
-    key_block = pl.BlockSpec(
-        (1, 1, TILE), lambda j, t: (t, 0, j), memory_space=pltpu.VMEM
-    )
-    # point streams are (L, 16, V): the block's last-two dims (16, TILE)
-    # satisfy Mosaic's divisible-by-(8,128) rule for any L
+def _build_scan(L: int):
+    """Scan over one window's stream, flattened step-major: all arrays are
+    2D (rows, L*TILE) and each grid step t consumes/produces the TILE-wide
+    column slab t — no 3D relayouts anywhere (V is fixed at one TILE)."""
+    key_block = pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.VMEM)
     pt_block = pl.BlockSpec(
-        (1, NUM_LIMBS, TILE), lambda j, t: (t, 0, j), memory_space=pltpu.VMEM
+        (NUM_LIMBS, TILE), lambda t: (0, t), memory_space=pltpu.VMEM
     )
-    bkey_block = pl.BlockSpec((1, TILE), lambda j, t: (0, j), memory_space=pltpu.VMEM)
+    bkey_block = pl.BlockSpec((1, TILE), lambda t: (0, 0), memory_space=pltpu.VMEM)
     bpt_block = pl.BlockSpec(
-        (NUM_LIMBS, 1, TILE), lambda j, t: (0, 0, j), memory_space=pltpu.VMEM
+        (NUM_LIMBS, TILE), lambda t: (0, 0), memory_space=pltpu.VMEM
     )
-    key_shape = jax.ShapeDtypeStruct((L, 1, V), jnp.int32)
-    pt_shape = jax.ShapeDtypeStruct((L, NUM_LIMBS, V), jnp.uint32)
-    bkey_shape = jax.ShapeDtypeStruct((1, V), jnp.int32)
-    bpt_shape = jax.ShapeDtypeStruct((NUM_LIMBS, 1, V), jnp.uint32)
+    key_shape = jax.ShapeDtypeStruct((1, L * TILE), jnp.int32)
+    pt_shape = jax.ShapeDtypeStruct((NUM_LIMBS, L * TILE), jnp.uint32)
+    bkey_shape = jax.ShapeDtypeStruct((1, TILE), jnp.int32)
+    bpt_shape = jax.ShapeDtypeStruct((NUM_LIMBS, TILE), jnp.uint32)
 
     return pl.pallas_call(
         _scan_kernel,
-        grid=(n_lane_tiles, L),
+        grid=(L,),
         in_specs=[key_block, pt_block, pt_block, key_block],
         out_specs=(
             key_block, pt_block, pt_block, pt_block,
@@ -450,17 +446,22 @@ def horner_total(wx, wy, wz, c: int):
 def window_scan(keys, px, py, pinf):
     """Run the fused chunk scan over one window's sorted stream.
 
-    keys  (L, V) i32  sorted digits in step-major layout (-1 padding first)
-    px/py (L, 16, V) u32  per-step limb-major gathered affine coordinates
-    pinf  (L, V) i32  infinity mask (nonzero = infinity)
+    All arrays are flattened step-major over L*TILE columns: column
+    t*TILE + v holds sorted element v*L + t (lane v, step t), so grid step
+    t consumes one contiguous TILE-wide slab and no 3D relayouts are
+    needed anywhere.
 
-    Returns (emit_key (L,V), emit x/y/z (L,16,V),
-             head_key (1,V), head x/y/z (16,1,V),
-             tail_key (1,V), tail x/y/z (16,1,V)).
+    keys  (1, L*TILE) i32  sorted digits, step-major (-1 padding first)
+    px/py (16, L*TILE) u32 limb-major gathered affine coordinates
+    pinf  (1, L*TILE) i32  infinity mask (nonzero = infinity)
+
+    Returns (emit_key (1, L*TILE), emit x/y/z (16, L*TILE),
+             head_key (1, TILE), head x/y/z (16, TILE),
+             tail_key (1, TILE), tail x/y/z (16, TILE)).
     """
-    L, V = keys.shape
-    assert V % TILE == 0, "lane count must be a multiple of the kernel tile"
-    outs = _build_scan(V // TILE, L)(
-        keys.reshape(L, 1, V), px, py, pinf.astype(jnp.int32).reshape(L, 1, V)
+    total = keys.shape[-1]
+    assert total % TILE == 0
+    L = total // TILE
+    return _build_scan(L)(
+        keys.reshape(1, total), px, py, pinf.astype(jnp.int32).reshape(1, total)
     )
-    return (outs[0].reshape(L, V),) + outs[1:]
