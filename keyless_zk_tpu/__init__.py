@@ -20,3 +20,15 @@ idiomatic JAX/XLA/Pallas stack:
 """
 
 __version__ = "0.1.0"
+
+# Platform escape hatch. The deployment image's sitecustomize imports jax and
+# registers the TPU plugin before any user code, so JAX_PLATFORMS set in the
+# shell has no effect; KEYLESS_PLATFORM=cpu lets the CLI/service run on the
+# host when the TPU is unavailable (package import is the earliest user-code
+# hook, before any module-level jnp constant can initialize a backend).
+import os as _os
+
+if _os.environ.get("KEYLESS_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["KEYLESS_PLATFORM"])

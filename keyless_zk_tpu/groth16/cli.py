@@ -28,10 +28,27 @@ def _public_signals(pk, wtns) -> list[int]:
     return limbs_to_ints(wtns.values[1 : 1 + pk.n_public])
 
 
+def _load_witness(args):
+    """Witness from --wtns, or solved from --r1cs + --input (circom wire
+    order, see circuits/circom_interop.py) when no .wtns is given."""
+    if args.wtns:
+        return load_wtns(args.wtns)
+    from types import SimpleNamespace
+
+    from ..circuits.circom_interop import witness_from_input_json
+    from ..fields.limbs import ints_to_limbs
+
+    w = witness_from_input_json(args.r1cs, args.input, args.sym)
+    return SimpleNamespace(values=ints_to_limbs([int(x) for x in w]))
+
+
 def cmd_prove(args) -> int:
+    if not args.wtns and not (args.r1cs and args.input):
+        print("need --wtns, or --r1cs with --input", file=sys.stderr)
+        return 2
     t0 = time.monotonic()
     pk = load_zkey(args.zkey)
-    wtns = load_wtns(args.wtns)
+    wtns = _load_witness(args)
     prover = Groth16Prover(pk)
     t1 = time.monotonic()
     proof = prover.prove(wtns.values)
@@ -65,7 +82,10 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
     p = sub.add_parser("prove", help="produce a Groth16 proof from zkey + wtns")
     p.add_argument("--zkey", required=True)
-    p.add_argument("--wtns", required=True)
+    p.add_argument("--wtns", help="snarkjs witness file (as the reference consumes)")
+    p.add_argument("--r1cs", help="circom .r1cs: solve the witness natively instead")
+    p.add_argument("--input", help="circom input.json (with --r1cs)")
+    p.add_argument("--sym", help="circom .sym table for input-name mapping")
     p.add_argument("--vk", help="snarkjs verification key JSON; verify after proving")
     p.set_defaults(fn=cmd_prove)
     v = sub.add_parser("verify", help="verify a snarkjs proof JSON")

@@ -189,6 +189,10 @@ class ProverServiceState:
                 raise InternalError("training-wheels signature self-check failed")
 
         with phase("build_response"):
+            from .bcs import ephemeral_signature_bcs
+
             PROOFS_TOTAL.inc(outcome="success")
-            resp = success_response(proof_json, public_inputs_hash, tw_sig.hex())
+            resp = success_response(
+                proof_json, public_inputs_hash, ephemeral_signature_bcs(tw_sig).hex()
+            )
         return resp

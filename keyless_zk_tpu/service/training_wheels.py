@@ -54,18 +54,13 @@ class TrainingWheelsKeyPair:
 
 
 def proof_and_statement_bytes(proof_json: dict, public_inputs_hash: int) -> bytes:
-    """Canonical bytes of Groth16ProofAndStatement for TW signing.
+    """The exact Ed25519 message the reference's TW key signs: the
+    aptos-crypto domain-separation seed followed by
+    bcs(Groth16ProofAndStatement) (training_wheels.rs:155-169; see
+    service/bcs.py for the byte layout)."""
+    from .bcs import proof_and_statement_signing_message
 
-    The reference BCS-serializes the aptos-types struct
-    (training_wheels.rs:155-222); here the canonical form is the proof's
-    snarkjs JSON with the public input appended, hashed domain-separated.
-    """
-    blob = json.dumps(
-        {"proof": proof_json, "public_inputs_hash": str(public_inputs_hash)},
-        sort_keys=True,
-        separators=(",", ":"),
-    ).encode()
-    return b"KEYLESS_ZK_TPU::Groth16ProofAndStatement" + hashlib.sha256(blob).digest()
+    return proof_and_statement_signing_message(proof_json, public_inputs_hash)
 
 
 def preprocess_and_validate_request(

@@ -55,10 +55,21 @@ class InternalError(Exception):
 def success_response(
     proof_json: dict, public_inputs_hash: int, training_wheels_signature_hex: str
 ) -> dict:
-    """ProverServiceResponse::Success (types.rs:43-50)."""
+    """ProverServiceResponse::Success (types.rs:43-57), reference wire shape:
+    `proof` is the aptos-types Groth16Proof (ark-compressed point byte
+    arrays, serde's JSON form), `public_inputs_hash` is the hex of the Fr
+    value's 32 little-endian bytes (PoseidonHash with #[serde(with="hex")]),
+    `training_wheels_signature` is hex of bcs(EphemeralSignature)."""
+    from .bcs import groth16_proof_bcs
+
+    blob = groth16_proof_bcs(proof_json)
     return {
-        "proof": proof_json,
-        "public_inputs_hash": str(public_inputs_hash),
+        "proof": {
+            "a": list(blob[:32]),
+            "b": list(blob[32:96]),
+            "c": list(blob[96:128]),
+        },
+        "public_inputs_hash": (public_inputs_hash % (1 << 256)).to_bytes(32, "little").hex(),
         "training_wheels_signature": training_wheels_signature_hex,
     }
 

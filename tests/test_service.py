@@ -162,12 +162,26 @@ def test_full_prove_pipeline():
     body = json.dumps(_request_input(tj)).encode()
     code, _, payload = handle_request(state, "POST", "/v0/prove", body)
     assert code == 200, payload
-    assert payload["proof"]["protocol"] == "groth16"
-    # TW signature verifies against the advertised pubkey
-    from keyless_zk_tpu.service.training_wheels import proof_and_statement_bytes
+    # reference wire shape: compressed point byte arrays + hex hash + hex
+    # bcs(EphemeralSignature) (types.rs:43-57, prover_handler.rs:434-451)
+    assert len(payload["proof"]["a"]) == 32
+    assert len(payload["proof"]["b"]) == 64
+    assert len(payload["proof"]["c"]) == 32
+    # TW signature verifies against the advertised pubkey, reconstructing
+    # the BCS signing message from the response alone
+    from keyless_zk_tpu.service.bcs import (
+        GROTH16_PROOF_AND_STATEMENT_SEED,
+        ephemeral_signature_from_bcs,
+    )
     from keyless_zk_tpu.utils import ed25519
 
-    msg = proof_and_statement_bytes(payload["proof"], int(payload["public_inputs_hash"]))
-    assert ed25519.verify(
-        state.tw_keypair.pk, msg, bytes.fromhex(payload["training_wheels_signature"])
+    pih = bytes.fromhex(payload["public_inputs_hash"])
+    msg = (
+        GROTH16_PROOF_AND_STATEMENT_SEED
+        + bytes(payload["proof"]["a"])
+        + bytes(payload["proof"]["b"])
+        + bytes(payload["proof"]["c"])
+        + pih
     )
+    sig = ephemeral_signature_from_bcs(bytes.fromhex(payload["training_wheels_signature"]))
+    assert ed25519.verify(state.tw_keypair.pk, msg, sig)
