@@ -78,6 +78,94 @@ def sharded_msm(
     return f(points_x, points_y, points_inf, scalars)
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def _twiddle_matrix(w_mont: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
+    """W[j1, k2] = w^(j1*k2), (n1, n2, 16) Montgomery.
+
+    Log-doubling over rows: W[m+a] = W[a] * G_m where G_m[k2] = w^(m*k2)
+    starts as the k2 geometric row and squares elementwise each doubling.
+    """
+    from ..fields import jax_field as jf
+    from ..fields.jax_field import FR
+    from ..ops.ntt import geometric_powers
+
+    G = geometric_powers(w_mont, n2)  # (n2, 16): w^k2
+    one = jf.encode_ints([FR.r_mod_p], FR)[0]
+    W = jnp.broadcast_to(one, (1, n2, 16))
+    cur = G
+    while W.shape[0] < n1:
+        W = jnp.concatenate([W, jf.mont_mul(W, cur[None], FR)], axis=0)
+        cur = jf.mont_mul(cur, cur, FR)
+    return W
+
+
+def four_step_ntt(
+    x: jnp.ndarray,
+    *,
+    domain_pow: int,
+    mesh: Mesh,
+    axis: str = "data",
+    n1_pow: int | None = None,
+    inverse: bool = False,
+) -> jnp.ndarray:
+    """One 2^domain_pow NTT sharded across the mesh (four-step decomposition).
+
+    The TPU-native answer to SURVEY §2.4's "Comm" row for the FFT: where the
+    reference's fft.cpp parallelizes butterflies over threads in shared
+    memory, a transform too big (or too batched) for one chip splits as
+    n = n1*n2 with j = j1 + n1*j2, k = k2 + n2*k1:
+
+        X[n2*k1 + k2] = NTT_n1^(j1) [ w^(j1*k2) * NTT_n2^(j2)[x[j1 + n1*j2]] ]
+
+    Step 1 runs n1 local n2-point NTTs (sharded over j1), step 2 applies the
+    twiddle matrix, step 3 is ONE all-to-all over ICI (the only
+    communication: n/D elements per chip), step 4 runs n2 local n1-point
+    NTTs (sharded over k2). Output is in standard order, so the Groth16
+    intt -> coset mul -> ntt pipeline composes unchanged.
+
+    x: (n, 16) Fr Montgomery. Returns (n, 16). Requires D | n1 and D | n2.
+    """
+    from ..fields import bn254
+    from ..fields import jax_field as jf
+    from ..fields.jax_field import FR
+
+    D = mesh.shape[axis]
+    if n1_pow is None:
+        n1_pow = max(domain_pow // 2, (D - 1).bit_length())
+    n2_pow = domain_pow - n1_pow
+    n1, n2 = 1 << n1_pow, 1 << n2_pow
+    if n1 % D or n2 % D:
+        raise ValueError(f"mesh size {D} must divide both n1={n1} and n2={n2}")
+    plan1, plan2 = get_plan(n1_pow), get_plan(n2_pow)
+
+    w = bn254.fr_root_of_unity(domain_pow)
+    if inverse:
+        w = pow(w, -1, FR.p)
+    w_mont = jf.encode_ints([w], FR, mont=True)[0]
+    W = _twiddle_matrix(w_mont, n1, n2)
+
+    def local(y_l, w_l):
+        # y_l: (n2, n1/D, 16) — full j2, local j1 block; w_l: (n1/D, n2, 16)
+        z = jnp.moveaxis(y_l, 0, 1)  # (n1/D, n2, 16)
+        z = plan2.intt(z) if inverse else plan2.ntt(z)  # j2 -> k2
+        z = jf.mont_mul(z, w_l, FR)
+        # reshard: full j1 on device, k2 split (the one collective)
+        z = jax.lax.all_to_all(z, axis, split_axis=1, concat_axis=0, tiled=True)
+        z = jnp.moveaxis(z, 0, 1)  # (n2/D, n1, 16) — local k2, full j1
+        z = plan1.intt(z) if inverse else plan1.ntt(z)  # j1 -> k1
+        return jnp.moveaxis(z, 0, 1)  # (n1, n2/D, 16) = out2d local block
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis, None), P(axis, None, None)),
+        out_specs=P(None, axis, None),
+        check_vma=False,
+    )
+    out2d = f(x.reshape(n2, n1, 16), W)  # out2d[k1, k2]
+    return out2d.reshape(1 << domain_pow, 16)
+
+
 def sharded_ntt_batch(
     polys: jnp.ndarray, *, domain_pow: int, mesh: Mesh, axis: str = "data", inverse=False
 ) -> jnp.ndarray:

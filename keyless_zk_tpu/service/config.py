@@ -31,6 +31,11 @@ class ProverServiceConfig:
     enable_test_provider: bool = False
     enable_federated_jwks: bool = False
     max_committed_epk_bytes: int = 93  # prover_config.rs default
+    # Batched proving: lifts the reference's one-proof-at-a-time mutex
+    # (prover_state.rs:21) by coalescing concurrent requests into vmapped
+    # device sweeps (parallel/batch_prover.py).
+    batch_proving: bool = False
+    max_batch: int = 8
 
     @classmethod
     def from_yaml(cls, path: str) -> "ProverServiceConfig":

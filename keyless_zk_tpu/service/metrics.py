@@ -51,6 +51,11 @@ class Histogram:
                 counts[-1] += 1
             self._sums[key] += value
 
+    def sums(self) -> dict:
+        """Snapshot of per-label-key summed observations (seconds)."""
+        with self._lock:
+            return dict(self._sums)
+
     def expose(self) -> str:
         lines = [f"# HELP {self.name} {self.help}", f"# TYPE {self.name} histogram"]
         with self._lock:

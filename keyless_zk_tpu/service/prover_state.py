@@ -51,6 +51,7 @@ class ProverServiceState:
     cs: object | None = None
     witness_prog: object | None = None  # native engine (circuits/witness_engine.py)
     prover: Groth16Prover | None = None
+    batch_prover: object | None = None  # BatchProver when config.batch_proving
     vk: dict | None = None
     prove_lock: threading.Lock = field(default_factory=threading.Lock)
     deployment_info: dict = field(default_factory=dict)
@@ -111,6 +112,10 @@ class ProverServiceState:
             res = groth16_setup(r1cs_from_cs(self.cs), rng=rng)
             self.prover = Groth16Prover(res.pk)
             self.vk = res.vk
+        if self.config.batch_proving:
+            from ..parallel.batch_prover import BatchProver
+
+            self.batch_prover = BatchProver(self.prover, max_batch=self.config.max_batch)
 
     # ---- the prove pipeline (prover_handler.rs:48-152) --------------------
 
@@ -168,8 +173,13 @@ class ProverServiceState:
                 w_np = self.cs.witness_np(w)
 
         with phase("generate_proof"):
-            with self.prove_lock:  # prover_handler.rs:266-268
-                proof = self.prover.prove(w_np)
+            if self.batch_prover is not None:
+                # concurrent requests coalesce into one vmapped device sweep;
+                # no global mutex (the limit prover_state.rs:21 lifts here)
+                proof = self.batch_prover.prove(w_np)
+            else:
+                with self.prove_lock:  # prover_handler.rs:266-268
+                    proof = self.prover.prove(w_np)
 
         with phase("deserialize_proof"):
             proof_json = proof.to_json_dict()

@@ -48,3 +48,24 @@ def test_dryrun_multichip():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_four_step_ntt_matches_single():
+    """Intra-transform sharding (four-step, one all-to-all) vs one-device NTT."""
+    from keyless_zk_tpu.parallel.sharded import four_step_ntt
+
+    mesh = make_mesh(len(jax.devices()))
+    domain_pow = 10
+    n = 1 << domain_pow
+    rng = np.random.default_rng(13)
+    vals = [int(x) % bn254.R_SCALAR for x in rng.integers(1, 1 << 62, n)]
+    x = jf.encode_ints(vals, FR, mont=True)
+    plan = get_plan(domain_pow)
+
+    got = four_step_ntt(x, domain_pow=domain_pow, mesh=mesh)
+    want = plan.ntt(x)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    gotI = four_step_ntt(x, domain_pow=domain_pow, mesh=mesh, inverse=True)
+    wantI = plan.intt(x)
+    assert np.array_equal(np.asarray(gotI), np.asarray(wantI))

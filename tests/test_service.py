@@ -185,3 +185,12 @@ def test_full_prove_pipeline():
     )
     sig = ephemeral_signature_from_bcs(bytes.fromhex(payload["training_wheels_signature"]))
     assert ed25519.verify(state.tw_keypair.pk, msg, sig)
+
+
+def test_batch_proving_config(tmp_path):
+    from keyless_zk_tpu.service.config import ProverServiceConfig
+
+    p = tmp_path / "cfg.yml"
+    p.write_text("batch_proving: true\nmax_batch: 4\n")
+    cfg = ProverServiceConfig.from_yaml(str(p))
+    assert cfg.batch_proving and cfg.max_batch == 4
