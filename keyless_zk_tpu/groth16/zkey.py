@@ -97,6 +97,9 @@ class ProvingKey:
     points_b2: G2Table
     points_c: G1Table
     points_h: G1Table
+    # IC points (section 3): n_public+1 G1 points, standard-form host ints —
+    # with these the snarkjs VK is fully recoverable from the zkey alone
+    vk_ic: tuple = ()
 
 
 def _g1_std(buf: np.ndarray, n8q: int, q: int) -> tuple:
@@ -184,7 +187,9 @@ def save_zkey(path: str, pk: ProvingKey) -> None:
         f.write(struct.pack("<II", 1, 9))
         _write_section(f, 1, struct.pack("<I", 1))
         _write_section(f, 2, s2)
-        _write_section(f, 3, b"")  # additional header (unused by the readers)
+        # section 3: IC points (snarkjs layout) — lets a VK be recovered
+        # from the zkey alone (empty when the setup kept the VK separate)
+        _write_section(f, 3, b"".join(g1_point(p) for p in pk.vk_ic))
         _write_section(f, 4, s4)
         _write_section(f, 5, _g1_bytes(pk.points_a))
         _write_section(f, 6, _g1_bytes(pk.points_b1))
@@ -193,7 +198,101 @@ def save_zkey(path: str, pk: ProvingKey) -> None:
         _write_section(f, 9, _g1_bytes(pk.points_h))
 
 
-def load_zkey(path: str) -> ProvingKey:
+def load_zkey(path: str, cache: bool | None = None) -> ProvingKey:
+    """Parse a snarkjs zkey; limb-format table cache beside the file.
+
+    The reference mmaps the zkey and converts per startup
+    (fullprover.cpp:164-174); at production scale (~multi-GB, 5 point
+    tables) the byte->limb conversion dominates service start, so the
+    converted arrays are cached as `<path>.tables.npz`, keyed by the zkey's
+    (size, mtime), and reloaded zero-copy (the analog of the setup cache in
+    scripts/python/setups/cache.py, but in device-ready format).
+    Set cache=False or KEYLESS_ZKEY_CACHE=0 to disable.
+    """
+    import os
+
+    if cache is None:
+        cache = os.environ.get("KEYLESS_ZKEY_CACHE", "1") != "0"
+    npz_path = path + ".tables.npz"
+    st = os.stat(path)
+    cache_key = f"{st.st_size}:{int(st.st_mtime)}"
+    if cache and os.path.exists(npz_path):
+        try:
+            z = np.load(npz_path, allow_pickle=False)
+            if str(z["cache_key"]) == cache_key:
+                return _pk_from_npz(z)
+        except Exception:
+            pass  # stale/corrupt cache: fall through to a fresh parse
+    pk = _load_zkey_uncached(path)
+    if cache:
+        try:
+            np.savez(npz_path + ".tmp.npz", cache_key=cache_key, **_pk_to_arrays(pk))
+            os.replace(npz_path + ".tmp.npz", npz_path)
+        except Exception:
+            pass  # read-only directory etc.: caching is best-effort
+    return pk
+
+
+_INT_FIELDS = ("n8q", "n8r", "n_vars", "n_public", "domain_size", "n_coefs")
+_VK_FIELDS = (
+    "vk_alpha1",
+    "vk_beta1",
+    "vk_beta2",
+    "vk_gamma2",
+    "vk_delta1",
+    "vk_delta2",
+    "vk_ic",
+)
+_G1_TABLES = ("points_a", "points_b1", "points_c", "points_h")
+
+
+def _pk_to_arrays(pk: ProvingKey) -> dict:
+    import json
+
+    meta = {f: getattr(pk, f) for f in _INT_FIELDS}
+    meta["q"] = str(pk.q)
+    meta["r"] = str(pk.r)
+    for f in _VK_FIELDS:
+        meta[f] = json.dumps(getattr(pk, f), default=str)
+    out = {"meta": np.frombuffer(json.dumps(meta, default=str).encode(), dtype=np.uint8)}
+    for f in ("coef_m", "coef_c", "coef_s", "coef_val"):
+        out[f] = getattr(pk, f)
+    for f in _G1_TABLES + ("points_b2",):
+        t = getattr(pk, f)
+        out[f + "_x"], out[f + "_y"], out[f + "_inf"] = t.x, t.y, t.inf
+    return out
+
+
+def _int_tree(v):
+    if isinstance(v, list):
+        return tuple(_int_tree(x) for x in v)
+    return int(v)
+
+
+def _pk_from_npz(z) -> ProvingKey:
+    import json
+
+    meta = json.loads(bytes(z["meta"]).decode())
+    tabs = {}
+    for f in _G1_TABLES:
+        tabs[f] = G1Table(z[f + "_x"], z[f + "_y"], z[f + "_inf"])
+    tabs["points_b2"] = G2Table(
+        z["points_b2_x"], z["points_b2_y"], z["points_b2_inf"]
+    )
+    return ProvingKey(
+        q=int(meta["q"]),
+        r=int(meta["r"]),
+        **{f: int(meta[f]) for f in _INT_FIELDS},
+        **{f: _int_tree(json.loads(meta[f])) for f in _VK_FIELDS},
+        coef_m=z["coef_m"],
+        coef_c=z["coef_c"],
+        coef_s=z["coef_s"],
+        coef_val=z["coef_val"],
+        **tabs,
+    )
+
+
+def _load_zkey_uncached(path: str) -> ProvingKey:
     bf = BinFile.load(path, "zkey")
     (protocol,) = struct.unpack_from("<I", bf.section(1), 0)
     if protocol != 1:
@@ -257,4 +356,8 @@ def load_zkey(path: str) -> ProvingKey:
         points_b2=_parse_g2_table(bf.section(7), n8q),
         points_c=_parse_g1_table(bf.section(8), n8q),
         points_h=_parse_g1_table(bf.section(9), n8q),
+        vk_ic=tuple(
+            _g1_std(bf.section(3)[i * 2 * n8q :], n8q, q)
+            for i in range(bf.section(3).size // (2 * n8q))
+        ),
     )

@@ -156,3 +156,32 @@ def snarkjs_vk_to_onchain(vk: dict) -> dict:
             "gamma_g2": "0x" + compress_g2(_g2_from_json(vk["vk_gamma_2"])).hex(),
         },
     }
+
+
+def vk_json_from_pk(pk) -> dict:
+    """snarkjs verification-key JSON recovered from a zkey's own points
+    (header VK + section-3 IC), for imported setups that ship no separate
+    VK file (setup_tool.import_zkey)."""
+    if not pk.vk_ic:
+        raise ValueError("zkey carries no IC points; supply a VK JSON instead")
+
+    def g1(pt):
+        return ["0", "1", "0"] if pt is None else [str(pt[0]), str(pt[1]), "1"]
+
+    def g2(pt):
+        return [
+            [str(pt[0][0]), str(pt[0][1])],
+            [str(pt[1][0]), str(pt[1][1])],
+            ["1", "0"],
+        ]
+
+    return {
+        "protocol": "groth16",
+        "curve": "bn128",
+        "nPublic": pk.n_public,
+        "vk_alpha_1": g1(pk.vk_alpha1),
+        "vk_beta_2": g2(pk.vk_beta2),
+        "vk_gamma_2": g2(pk.vk_gamma2),
+        "vk_delta_2": g2(pk.vk_delta2),
+        "IC": [g1(p) for p in pk.vk_ic],
+    }

@@ -96,11 +96,72 @@ def procure(keyless_config=None, root: str = DEFAULT_SETUP_ROOT, force: bool = F
 
 
 def _set_default(root: str, key: str) -> None:
-    link = os.path.join(root, "default")
+    set_slot(root, key, "default")
+
+
+def set_slot(root: str, key: str, slot: str) -> None:
+    """Point a named slot symlink (`default` or `new`) at a setup.
+
+    Mirrors the reference's two-slot layout for staged circuit rollouts
+    (scripts/python/setups/__init__.py:10-28: a service can load the
+    `default` setup while the `new` one is procured/validated, then flip).
+    """
+    if slot not in ("default", "new"):
+        raise ValueError("slot must be 'default' or 'new'")
+    if not os.path.isdir(os.path.join(root, key)):
+        raise FileNotFoundError(f"setup {key} not found under {root}")
+    link = os.path.join(root, slot)
     if os.path.islink(link):
         os.unlink(link)
     if not os.path.exists(link):
         os.symlink(key, link)
+
+
+def import_zkey(
+    zkey_path: str,
+    vk_path: str | None = None,
+    circuit_config_path: str | None = None,
+    root: str = DEFAULT_SETUP_ROOT,
+    slot: str = "new",
+) -> str:
+    """Install an externally-procured (ceremony / snarkjs) zkey into the
+    content-addressed store.
+
+    The analog of the reference's release-ceremony download
+    (scripts/python/setups/gh_release.py): the setup key is the zkey file's
+    content hash; the verification key is extracted from the zkey header if
+    no snarkjs VK JSON is supplied; a warm device-format table cache is
+    built immediately so first service start doesn't pay the conversion.
+    """
+    import shutil
+
+    from ..groth16.zkey import load_zkey
+    from ..tooling.onchain_vk import vk_json_from_pk
+
+    h = hashlib.sha256()
+    with open(zkey_path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 22), b""):
+            h.update(chunk)
+    key = "zkey-" + h.hexdigest()[:16]
+    target = os.path.join(root, key)
+    marker = os.path.join(target, ".complete")
+    if not os.path.exists(marker):
+        os.makedirs(target, exist_ok=True)
+        dest = os.path.join(target, "prover_key.zkey")
+        shutil.copyfile(zkey_path, dest)
+        pk = load_zkey(dest)  # parses + writes the .tables.npz cache
+        if vk_path:
+            shutil.copyfile(vk_path, os.path.join(target, "verification_key.json"))
+        else:
+            with open(os.path.join(target, "verification_key.json"), "w") as f:
+                json.dump(vk_json_from_pk(pk), f, indent=1)
+        if circuit_config_path:
+            shutil.copyfile(
+                circuit_config_path, os.path.join(target, "circuit_config.yml")
+            )
+        open(marker, "w").close()
+    set_slot(root, key, slot)
+    return target
 
 
 def main(argv=None) -> int:
@@ -109,12 +170,37 @@ def main(argv=None) -> int:
     pr = sub.add_parser("procure-testing-setup")
     pr.add_argument("--root", default=DEFAULT_SETUP_ROOT)
     pr.add_argument("--force", action="store_true")
+    im = sub.add_parser(
+        "import-zkey", help="install an external snarkjs/ceremony zkey"
+    )
+    im.add_argument("zkey")
+    im.add_argument("--vk", help="snarkjs VK JSON (else recovered from the zkey)")
+    im.add_argument("--circuit-config", help="circuit_config.yml to ship with it")
+    im.add_argument("--root", default=DEFAULT_SETUP_ROOT)
+    im.add_argument("--slot", default="new", choices=["default", "new"])
+    ss = sub.add_parser("set-slot", help="point default/new at an installed setup")
+    ss.add_argument("key")
+    ss.add_argument("--slot", required=True, choices=["default", "new"])
+    ss.add_argument("--root", default=DEFAULT_SETUP_ROOT)
     sub.add_parser("show")
     args = ap.parse_args(argv)
 
     if args.cmd == "procure-testing-setup":
         path = procure(root=args.root, force=args.force)
         print(path)
+        return 0
+    if args.cmd == "import-zkey":
+        path = import_zkey(
+            args.zkey,
+            vk_path=args.vk,
+            circuit_config_path=args.circuit_config,
+            root=args.root,
+            slot=args.slot,
+        )
+        print(path)
+        return 0
+    if args.cmd == "set-slot":
+        set_slot(args.root, args.key, args.slot)
         return 0
     root = DEFAULT_SETUP_ROOT
     if os.path.isdir(root):

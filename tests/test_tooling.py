@@ -130,3 +130,56 @@ def test_setup_tool_checksum_stability():
     assert a == b
     c = circuit_checksum(KeylessConfig(max_aud_value_len=119))
     assert c != a
+
+
+def test_import_zkey_and_slots(tmp_path):
+    """import-zkey installs a snarkjs zkey content-addressed, recovers the
+    VK from the zkey's own IC points, and manages default/new slots
+    (gh_release.py / setups/__init__.py:10-28 parity)."""
+    import json
+    import os
+
+    from keyless_zk_tpu.tooling.setup_tool import import_zkey, set_slot
+
+    TOY = "/root/reference/prover-service/resources/toy_circuit"
+    root = str(tmp_path / "setups")
+    os.makedirs(root)
+    target = import_zkey(f"{TOY}/toy_1.zkey", root=root, slot="new")
+    assert os.path.exists(os.path.join(target, ".complete"))
+    assert os.readlink(os.path.join(root, "new")) == os.path.basename(target)
+    # device-format table cache built eagerly
+    assert os.path.exists(os.path.join(target, "prover_key.zkey.tables.npz"))
+
+    # the recovered VK must match the snarkjs-exported one point-for-point
+    got = json.load(open(os.path.join(target, "verification_key.json")))
+    want = json.load(open(f"{TOY}/toy_vk.json"))
+    for k in ("vk_alpha_1", "vk_beta_2", "vk_gamma_2", "vk_delta_2", "IC"):
+        assert got[k] == want[k], k
+    assert got["nPublic"] == want["nPublic"]
+
+    set_slot(root, os.path.basename(target), "default")
+    assert os.readlink(os.path.join(root, "default")) == os.path.basename(target)
+    # re-import is idempotent
+    assert import_zkey(f"{TOY}/toy_1.zkey", root=root) == target
+
+
+def test_zkey_table_cache_roundtrip(tmp_path):
+    """The .tables.npz cache must reproduce the parsed ProvingKey exactly."""
+    import shutil
+
+    import numpy as np
+
+    from keyless_zk_tpu.groth16.zkey import load_zkey
+
+    TOY = "/root/reference/prover-service/resources/toy_circuit"
+    zk = str(tmp_path / "toy.zkey")
+    shutil.copyfile(f"{TOY}/toy_1.zkey", zk)
+    fresh = load_zkey(zk, cache=True)  # writes the cache
+    cached = load_zkey(zk, cache=True)  # reads it back
+    assert cached.vk_alpha1 == fresh.vk_alpha1
+    assert cached.vk_ic == fresh.vk_ic
+    assert cached.q == fresh.q and cached.r == fresh.r
+    assert np.array_equal(cached.points_a.x, fresh.points_a.x)
+    assert np.array_equal(cached.points_b2.y, fresh.points_b2.y)
+    assert np.array_equal(cached.coef_val, fresh.coef_val)
+    assert cached.n_coefs == fresh.n_coefs
