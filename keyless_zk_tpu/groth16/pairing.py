@@ -364,11 +364,17 @@ def verify_groth16(vk: dict, public_inputs: list[int], proof: dict) -> bool:
     a = g1(proof["pi_a"])
     b = g2(proof["pi_b"])
     c = g1(proof["pi_c"])
-    return pairing_product_is_one(
-        [
-            (g1_neg(a), b),
-            (g1(vk["vk_alpha_1"]), g2(vk["vk_beta_2"])),
-            (acc, g2(vk["vk_gamma_2"])),
-            (c, g2(vk["vk_delta_2"])),
-        ]
-    )
+    pairs = [
+        (g1_neg(a), b),
+        (g1(vk["vk_alpha_1"]), g2(vk["vk_beta_2"])),
+        (acc, g2(vk["vk_gamma_2"])),
+        (c, g2(vk["vk_delta_2"])),
+    ]
+    # fast path: the native C pairing (~40 ms vs ~1.4 s — the reference's
+    # per-request ark verify, prover_handler.rs:329-336, at native speed);
+    # the pure-Python tower remains the fallback and the differential oracle
+    from . import pairing_native
+
+    if pairing_native.available():
+        return pairing_native.pairing_check(pairs)
+    return pairing_product_is_one(pairs)

@@ -2,43 +2,47 @@
 
 Replaces the reference's TBB bucket MSM (rust-rapidsnark/rapidsnark/src/
 multiexp.cpp:182-245: per-thread bucket privatization + tree merge) with a
-design built for a SIMD machine with no atomics:
+design built for a SIMD machine with no atomics. Round-2 pipeline (the
+fused TPU path; `_msm_pippenger` is the portable XLA formulation used for
+CPU tests):
 
-1. **digits**: scalars (standard form, 16x16-bit limbs) are split into
-   ceil(254/c) unsigned c-bit windows, all extracted at once by limb shifts;
-2. **sort**: per window, point indices are sorted by digit so each bucket's
-   points are contiguous (replaces the reference's racy scatter: sorted
-   segments are race-free by construction, cf. SURVEY §2.4 P3/P4);
-3. **chunk scan**: the sorted stream is cut into V lanes x L steps; each of
-   the L sequential steps performs one V-wide *batched* mixed EC add of the
-   next element of every lane into its running accumulator, emitting a
-   finished bucket sum (a run that ends inside the chunk) via a V-wide
-   scatter. Work: exactly n mixed adds per window — the Pippenger optimum —
-   at full vector width.
-4. **boundary merge**: runs that span chunk boundaries produce <=2V partials
-   whose keys are sorted; a log-step segmented suffix scan merges them and
-   scatters the totals into the bucket table (leader lanes only).
-5. **weighted bucket reduction**: sum_b b*B_b is computed as
-   sum_{b>=1} SuffixSum_b with a log-step (Hillis-Steele) suffix scan —
-   the vectorized equivalent of the reference's sequential running-sum
-   (multiexp.cpp:132-180).
-6. **horner over windows**: acc = 2^c * acc + W_w with c batched doublings.
+1. **signed digits**: scalars are split into ceil(254/c) c-bit windows and
+   rebalanced to digits in [-(2^(c-1)-1), 2^(c-1)] with carry propagation —
+   half the buckets of the reference's unsigned windows (multiexp.hpp:4-6),
+   paid for by a mask-negated y at gather time (negation is an Fq subtract).
+2. **one batched sort**: all windows' (digit, index|neg) pairs sort in a
+   single `lax.sort` call over a (W, n) batch.
+3. **fused chunk scan** (pallas_msm.window_scan): V lanes consume the
+   sorted stream in L slabs; each slab performs one V-wide complete mixed
+   add. Work: exactly n mixed adds per window — the Pippenger optimum.
+4. **scatter-free dense bucket tables**: the scan streams its pre-add
+   accumulator states to an emit buffer; each bucket's interior-run total
+   sits at a position computable from the *sorted keys alone* (the slab
+   after its run ends), so the dense table is built with binary-searched
+   gathers — the round-1 million-entry 3-coordinate scatter is gone.
+   Runs crossing lane boundaries resolve in a per-window 2V-entry
+   segmented-scan merge (pallas_msm.boundary_merge) and are gathered the
+   same way.
+5. **weighted bucket reduction** (pallas_msm.bucket accum+combine):
+   sum_b b·B_b with O(NB) sequential EC adds per window — the vector form
+   of the reference's running-sum reduction (multiexp.cpp:132-180).
+6. **horner over windows**: one kernel computes sum_w 2^(c·w)·W_w.
 
-Digit-0 entries are mapped to the point at infinity, so padding and zero
-scalars need no special casing anywhere.
+Digit-0 entries map to the point at infinity, so padding and zero scalars
+need no special casing anywhere. G2 runs the same pipeline with Fq2
+coordinate rows (alt_bn128.hpp:9-69's second Curve instantiation).
 """
 
 from __future__ import annotations
 
 import functools
 import os
-from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 
 from ..curves.jacobian import JacobianCurve, JacPoint
-from .pallas_curve import _sel
+from .pallas_ec import sel as _sel
 from ..fields.limbs import LIMB_BITS, NUM_LIMBS
 
 SCALAR_BITS = 254
@@ -46,8 +50,21 @@ SCALAR_BITS = 254
 _PALLAS_G1 = None
 
 
+def _fused_tag(curve):
+    """Field tag for the fused Pallas path, or None to use the XLA path."""
+    from ..curves.jacobian import G1_CURVE, G2_CURVE
+
+    if jax.default_backend() != "tpu" or os.environ.get("KEYLESS_NO_PALLAS") == "1":
+        return None
+    if curve is G1_CURVE:
+        return "fq"
+    if curve is G2_CURVE:
+        return "fq2"
+    return None
+
+
 def _accelerated(curve):
-    """On real TPUs, route G1 through the fused Pallas group-law kernels."""
+    """On real TPUs, route G1 batched group ops through fused Pallas kernels."""
     global _PALLAS_G1
     from ..curves.jacobian import G1_CURVE
 
@@ -81,15 +98,55 @@ def extract_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.stack(outs)
 
 
+def extract_digits_signed(scalars: jnp.ndarray, c: int):
+    """Balanced signed digits: returns (keys, negs), both (n_windows, n) i32.
+
+    scalar = sum_w (-1)^negs[w] * keys[w] * 2^(c*w), keys in [0, 2^(c-1)].
+    Carry propagation never overflows the top window for canonical Fr
+    scalars (< 2^254, and 254 mod c <= c-1). Verified against host ints in
+    tests/test_msm.py.
+    """
+    d = extract_digits(scalars, c)
+    half = 1 << (c - 1)
+    full = 1 << c
+    keys, negs = [], []
+    carry = jnp.zeros_like(d[0])
+    for w in range(d.shape[0]):
+        dw = d[w] + carry
+        neg = dw > half
+        carry = neg.astype(jnp.int32)
+        keys.append(_sel(neg, full - dw, dw))
+        negs.append(neg.astype(jnp.int32))
+    return jnp.stack(keys), jnp.stack(negs)
+
+
+def _searchsorted(keys: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
+    """Left-bisect positions of `vals` in the 1-D sorted `keys` (lax-only:
+    jnp.searchsorted's jitted wrapper trips the jax-0.9 closed_call
+    lowering-cache bug when multiple MSM shapes trace in one process)."""
+    m = keys.shape[0]
+
+    def body(_, lohi):
+        lo, hi = lohi
+        done = lo >= hi
+        mid = jnp.minimum((lo + hi) >> 1, m - 1)
+        kv = keys[mid]
+        go = kv < vals
+        lo2 = _sel(go, mid + 1, lo)
+        hi2 = _sel(go, hi, mid)
+        return (_sel(done, lo, lo2), _sel(done, hi, hi2))
+
+    lo = jnp.zeros_like(vals)
+    hi = jnp.full_like(vals, m)
+    lo, _ = jax.lax.fori_loop(0, (m + 1).bit_length(), body, (lo, hi))
+    return lo
+
+
 def _segmented_suffix_totals(keys: jnp.ndarray, pts: JacPoint, curve: JacobianCurve):
     """Inclusive segmented suffix sums over a key-sorted point sequence.
 
     After the scan, the first (leader) position of every equal-key segment
     holds the segment total. Returns (totals, leader_mask).
-
-    The log-step scan runs under lax.fori_loop with a dynamic shift so the
-    compiled graph contains the group law once, not unrolled log(m) times
-    (unrolled EC scans OOM the TPU compiler at production sizes).
     """
     m = keys.shape[0]
     steps = max(m - 1, 1).bit_length()
@@ -99,7 +156,6 @@ def _segmented_suffix_totals(keys: jnp.ndarray, pts: JacPoint, curve: JacobianCu
         sh = jnp.left_shift(1, s)
         shifted = jax.tree.map(lambda a: jnp.roll(a, -sh, axis=0), acc)
         same = jnp.roll(keys, -sh) == keys
-        # positions within `sh` of the end have no valid partner
         valid = same & (idx < m - sh)
         return curve.select(valid, curve.add(acc, JacPoint(*shifted)), acc)
 
@@ -109,8 +165,7 @@ def _segmented_suffix_totals(keys: jnp.ndarray, pts: JacPoint, curve: JacobianCu
 
 
 def suffix_sum_points(curve: JacobianCurve, pts: JacPoint) -> JacPoint:
-    """Inclusive suffix sums: out[i] = sum_{j >= i} pts[j] (Hillis-Steele
-    under fori_loop — one group-law instance in the graph)."""
+    """Inclusive suffix sums: out[i] = sum_{j >= i} pts[j]."""
     m = pts.x.shape[0]
     steps = max(m - 1, 1).bit_length()
     idx = jnp.arange(m)
@@ -127,8 +182,7 @@ def suffix_sum_points(curve: JacobianCurve, pts: JacPoint) -> JacPoint:
 @functools.partial(jax.jit, static_argnames="curve")
 def _msm_small(points_x, points_y, points_inf, scalars, *, curve) -> JacPoint:
     """Direct MSM for small n: batched double-and-add over all points at
-    once (254 steps), then a log-depth tree sum. One small traced graph —
-    Pippenger's window machinery only pays off at scale."""
+    once (254 steps), then a log-depth tree sum."""
     n = scalars.shape[0]
     bit_idx = jnp.arange(SCALAR_BITS - 1, -1, -1)
     limb = bit_idx // LIMB_BITS
@@ -147,11 +201,7 @@ def _msm_small(points_x, points_y, points_inf, scalars, *, curve) -> JacPoint:
 
 
 def tree_reduce_points(curve: JacobianCurve, acc: JacPoint, m: int) -> JacPoint:
-    """Sum of a leading-axis batch of Jacobian points.
-
-    Implemented as an inclusive suffix scan (fixed shapes, one group-law
-    instance in the graph) and taking element 0 — log-depth like a tree
-    but without per-level shape changes that bloat the compiled graph."""
+    """Sum of a leading-axis batch of Jacobian points via a suffix scan."""
     if m == 1:
         return JacPoint(*jax.tree.map(lambda a: a[0], acc))
     total = suffix_sum_points(curve, JacPoint(*jax.tree.map(lambda a: a[:m], acc)))
@@ -159,17 +209,23 @@ def tree_reduce_points(curve: JacobianCurve, acc: JacPoint, m: int) -> JacPoint:
 
 
 def msm_window_bits(n: int) -> int:
-    """Window size minimizing total EC adds for this design.
-
-    Unlike the reference's per-point cost model (multiexp.cpp:206-213),
-    the bucket reduction here is a log-step suffix scan costing c * 2^c
-    adds per window, so the balance point sits lower: minimize
-    ceil(254/c) * (n + c * 2^c) over c."""
+    """Window size for the XLA path (log-scan reduction costs c·2^c adds)."""
 
     def cost(c: int) -> int:
         return -(-SCALAR_BITS // c) * (n + c * (1 << c))
 
     return min(range(4, 17), key=cost)
+
+
+def fused_window_bits(n: int) -> int:
+    """Window size for the fused path: scan costs n mixed adds per window,
+    the sequential reduction ~2.6·2^(c-1) add-equivalents, plus a ~3000-add
+    fixed per-window overhead (sort/gather/merge/dispatch)."""
+
+    def cost(c: int) -> float:
+        return -(-SCALAR_BITS // c) * (n + 2.6 * (1 << (c - 1)) + 3000.0)
+
+    return min(range(8, 17), key=cost)
 
 
 def msm(
@@ -182,26 +238,152 @@ def msm(
     c: int | None = None,
     lanes: int = 1 << 12,
     small_threshold: int = 128,
+    scan_v: int = 1024,
+    assume_distinct: bool = True,
 ) -> JacPoint:
     """sum_i scalars[i] * P_i.  Points affine (Montgomery), scalars standard.
 
-    Returns a single Jacobian point (batch shape ()).
+    Returns a single Jacobian point (batch shape ()). `assume_distinct`
+    skips the P==Q doubling fallback in the fused scan (see
+    pallas_ec.madd_core for the safety argument); pass False for tables
+    that may contain duplicate points.
     """
     n = scalars.shape[0]
     if n <= small_threshold:
         return _msm_small(points_x, points_y, points_inf, scalars, curve=curve)
-    if c is None:
-        c = msm_window_bits(n)
-    acc_curve = _accelerated(curve)
-    if acc_curve is not curve:  # TPU G1: fused Pallas chunk-scan path
+    tag = _fused_tag(curve)
+    if tag is not None:
         return _msm_pippenger_fused(
             points_x, points_y, points_inf, scalars,
-            curve=acc_curve, c=c, lanes=lanes,
+            tag=tag, c=c or fused_window_bits(n), v=scan_v,
+            assume_distinct=assume_distinct,
         )
     return _msm_pippenger(
         points_x, points_y, points_inf, scalars,
-        curve=curve, c=c, lanes=lanes,
+        curve=curve, c=c or msm_window_bits(n), lanes=lanes,
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tag", "c", "v", "assume_distinct")
+)
+def _msm_pippenger_fused(
+    points_x: jnp.ndarray,
+    points_y: jnp.ndarray,
+    points_inf: jnp.ndarray,
+    scalars: jnp.ndarray,
+    *,
+    tag: str,
+    c: int,
+    v: int,
+    assume_distinct: bool,
+) -> JacPoint:
+    """Pippenger with every per-element stage fused into Pallas kernels."""
+    from . import pallas_msm
+    from .pallas_ec import field_for
+
+    R = field_for(tag).rows
+    n = scalars.shape[0]
+    V = v
+    Wd = V // 8
+    L = -(-n // V)
+    n_p = V * L
+    pad = n_p - n
+
+    keys, negs = extract_digits_signed(scalars, c)  # (W, n) i32 each
+    Wn = keys.shape[0]
+    half = 1 << (c - 1)
+    NB = half + 1
+    NB_pad = -(-NB // pallas_msm.RV) * pallas_msm.RV
+
+    # master limb-major tables with a sentinel infinity column at index n
+    zrow = jnp.zeros((1, R), jnp.uint32)
+    pxm = jnp.concatenate([points_x.reshape(n, R), zrow]).T  # (R, n+1)
+    pym = jnp.concatenate([points_y.reshape(n, R), zrow]).T
+    pinf_ext = jnp.concatenate([points_inf, jnp.ones((1,), bool)])
+
+    # sort all windows at once; payload packs point index + sign bit.
+    # pad entries sort to the front (key -1) and index the sentinel column.
+    iota = jax.lax.iota(jnp.int32, n)
+    payload = jnp.broadcast_to(iota, (Wn, n)) | (negs << 30)
+    if pad:
+        keys = jnp.concatenate([jnp.full((Wn, pad), -1, jnp.int32), keys], axis=1)
+        payload = jnp.concatenate(
+            [jnp.full((Wn, pad), n, jnp.int32), payload], axis=1
+        )
+    keys_s, pay_s = jax.lax.sort((keys, payload), num_keys=1, is_stable=True, dimension=1)
+
+    bvals = jax.lax.iota(jnp.int32, NB_pad)
+
+    def one_window(args):
+        kw, pw = args  # (n_p,) sorted
+        idx = pw & ((1 << 30) - 1)
+        neg = (pw >> 30) & 1
+        # step-major flattening: flat position t*V + val holds sorted
+        # element val*L + t (lane val, slab t)
+        ord_sm = idx.reshape(V, L).T.reshape(n_p)
+        keys_sm = kw.reshape(V, L).T.reshape(n_p)
+        neg_sm = neg.reshape(V, L).T.reshape(n_p)
+        gx = pxm[:, ord_sm]  # (R, n_p)
+        gy = pym[:, ord_sm]
+        inf_sm = pinf_ext[ord_sm] | (keys_sm == 0)
+        flags = inf_sm.astype(jnp.int32) | (neg_sm << 1)
+
+        (ex, ey, ez, hk, hx, hy, hz, tk, tx, ty, tz) = pallas_msm.window_scan(
+            tag,
+            keys_sm.reshape(L, 8, Wd),
+            flags.reshape(L, 8, Wd),
+            gx.reshape(R, L, 8, Wd),
+            gy.reshape(R, L, 8, Wd),
+            V=V,
+            assume_distinct=assume_distinct,
+        )
+
+        # boundary sequence: head_0, tail_0, head_1, ... in sorted order
+        bkeys = jnp.stack([hk.reshape(V), tk.reshape(V)], axis=1).reshape(2 * V)
+        bkeys = jax.lax.cummax(bkeys)  # fill -1/-2 sentinels; points are inf
+
+        def inter(h, t):  # (R, 1, 8, Wd) x2 -> (R, 2V) interleaved
+            return jnp.stack([h.reshape(R, V), t.reshape(R, V)], axis=2).reshape(R, 2 * V)
+
+        mx, my, mz = pallas_msm.boundary_merge(
+            tag, bkeys[None], inter(hx, tx)[None], inter(hy, ty)[None], inter(hz, tz)[None]
+        )
+        mx, my, mz = mx[0], my[0], mz[0]  # (R, 2V)
+
+        # dense bucket table via searchsorted gathers (no scatter):
+        # bucket b's run spans sorted positions [starts_b, ends_b]; if the
+        # run is interior to one lane, its total is the scan's pre-add
+        # state in the slab after the run ends; otherwise it lives at the
+        # leader position of the merged boundary sequence.
+        starts = _searchsorted(kw, bvals)
+        ends = _searchsorted(kw, bvals + 1) - 1
+        interior = (
+            (ends >= starts)
+            & (starts // L == ends // L)
+            & (starts % L != 0)
+            & (ends % L != L - 1)
+        )
+        col = _sel(interior, (ends % L + 1) * V + ends // L, 0)
+        lpos = jnp.minimum(_searchsorted(bkeys, bvals), 2 * V - 1)
+        has = (bkeys[lpos] == bvals) & ~interior
+
+        eflat = ex.reshape(R, n_p), ey.reshape(R, n_p), ez.reshape(R, n_p)
+        mflat = mx, my, mz
+        outs = []
+        im = interior[None, :]
+        hm = has[None, :]
+        for e, m in zip(eflat, mflat):
+            outs.append(_sel(im, e[:, col], _sel(hm, m[:, lpos], jnp.uint32(0))))
+        return tuple(outs)  # (R, NB_pad) x3
+
+    dxs, dys, dzs = jax.lax.map(one_window, (keys_s, pay_s))  # (Wn, R, NB_pad)
+
+    wx, wy, wz = pallas_msm.weighted_bucket_total(tag, dxs, dys, dzs)
+    tx_, ty_, tz_ = pallas_msm.horner_total(tag, wx, wy, wz, c)
+    if tag == "fq2":
+        return JacPoint(tx_.reshape(2, NUM_LIMBS), ty_.reshape(2, NUM_LIMBS), tz_.reshape(2, NUM_LIMBS))
+    return JacPoint(tx_, ty_, tz_)
 
 
 def _weighted_bucket_total(curve: JacobianCurve, buckets: JacPoint, n_buckets: int) -> JacPoint:
@@ -231,129 +413,6 @@ def _horner_windows(curve: JacobianCurve, wins: JacPoint, n_windows: int, c: int
 
 
 @functools.partial(jax.jit, static_argnames=("curve", "c", "lanes"))
-def _msm_pippenger_fused(
-    points_x: jnp.ndarray,
-    points_y: jnp.ndarray,
-    points_inf: jnp.ndarray,
-    scalars: jnp.ndarray,
-    *,
-    curve: JacobianCurve,
-    c: int,
-    lanes: int,
-) -> JacPoint:
-    """Pippenger with the chunk scan fused into one Pallas kernel (G1/TPU).
-
-    Differs from `_msm_pippenger` in stage fusion: the L-step fori_loop of
-    (slice + mixed add + scatter) becomes a single `pallas_msm.window_scan`
-    call over limb-major data, the bucket scatter runs once per window over
-    the dense emit buffer, and the boundary merge + weighted bucket
-    reduction run as two more fused kernels — everything stays limb-major
-    end to end, with no per-step relayouts.
-    """
-    from . import pallas_msm
-    from .pallas_curve import TILE
-
-    n = scalars.shape[0]
-    # one kernel tile of lanes: the scan kernel runs the whole stream as
-    # grid steps either way, and narrow V keeps the boundary sequences (2V
-    # per window) and their VMEM-stacked kernel tensors small
-    V = min(lanes, TILE)
-    L = -(-n // V)
-    pad = V * L - n
-
-    digits_all = extract_digits(scalars, c)  # (W, n)
-    n_windows = digits_all.shape[0]
-    # pad the bucket table to the reduction kernel's 128-lane granularity;
-    # extra buckets stay at infinity and contribute nothing
-    n_buckets = max(1 << c, 128)
-    DUMP = n_buckets
-
-    # master limb-major tables with a sentinel infinity column at index n
-    pxm = jnp.concatenate([points_x, jnp.zeros((1, NUM_LIMBS), points_x.dtype)]).T
-    pym = jnp.concatenate([points_y, jnp.zeros((1, NUM_LIMBS), points_y.dtype)]).T
-    pinf_ext = jnp.concatenate([points_inf, jnp.ones((1,), bool)])
-
-    # pad before sorting: -1 keys sort to the front, their index hits the
-    # sentinel infinity column n of the master tables
-    pad_keys = jnp.full((pad,), -1, jnp.int32)
-    pad_idx = jnp.full((pad,), n, jnp.int32)
-    iota = jax.lax.iota(jnp.int32, n)
-
-    def window_scan_phase(digits):
-        # lax primitives instead of jnp.argsort/take/where: their jitted
-        # wrappers emit closed_call jaxprs that trip a jax-0.9 lowering-
-        # cache KeyError when a second MSM shape is traced in one process
-        keys_p = jnp.concatenate([pad_keys, digits]) if pad else digits
-        idx_p = jnp.concatenate([pad_idx, iota]) if pad else iota
-        keys_sorted, order = jax.lax.sort((keys_p, idx_p), num_keys=1, is_stable=True)
-        # step-major flattening: column t*TILE + v = sorted element v*L + t
-        flat = order.reshape(V, L).T.reshape(1, V * L)
-        keys_sm = keys_sorted.reshape(V, L).T.reshape(1, V * L)
-        gx = pxm[:, flat[0]]  # (16, L*V), already in kernel layout
-        gy = pym[:, flat[0]]
-        ginf = pinf_ext[flat] | (keys_sm == 0)
-
-        return pallas_msm.window_scan(keys_sm, gx, gy, ginf)
-
-    # phase 1, per window: sort + gather + fused chunk scan
-    (ekey, ex, ey, ez, hkey, hx, hy, hz, tkey, tx, ty, tz) = jax.lax.map(
-        window_scan_phase, digits_all
-    )
-    Wn = n_windows
-
-    # phase 2, batched across windows.
-    # global bucket tables (16, Wn*(nb+1)): window w owns slots
-    # [w*(nb+1), (w+1)*(nb+1)); each window's last slot is its dump.
-    # interior runs hit each bucket at most once, so plain .set is
-    # race-free; z == 0 encodes infinity, so all-zero tables start empty.
-    stride = n_buckets + 1
-    win_id = jnp.arange(Wn, dtype=jnp.int32)
-    bx = jnp.zeros((NUM_LIMBS, Wn * stride), jnp.uint32)
-    by = jnp.zeros_like(bx)
-    bz = jnp.zeros_like(bx)
-    base = (win_id * stride)[:, None, None]
-    eidx = (base + _sel(ekey >= 0, ekey, DUMP)).reshape(-1)
-
-    def flat_e(a):  # (Wn, 16, L*V) -> (16, Wn*L*V) matching eidx order
-        return a.transpose(1, 0, 2).reshape(NUM_LIMBS, Wn * L * V)
-
-    bx = bx.at[:, eidx].set(flat_e(ex))
-    by = by.at[:, eidx].set(flat_e(ey))
-    bz = bz.at[:, eidx].set(flat_e(ez))
-
-    # boundary sequences, one per window: head_0, tail_0, head_1, ...
-    bkeys = jnp.stack([hkey.reshape(Wn, V), tkey.reshape(Wn, V)], axis=2).reshape(Wn, 2 * V)
-
-    def interleave(h, t):  # (Wn, 16, 1, V) x2 -> (Wn, 16, 2V)
-        return jnp.stack(
-            [h.reshape(Wn, NUM_LIMBS, V), t.reshape(Wn, NUM_LIMBS, V)], axis=3
-        ).reshape(Wn, NUM_LIMBS, 2 * V)
-
-    bkeys = jax.lax.cummax(bkeys, axis=1)  # fill -1/-2 sentinels; points are inf
-    mx, my, mz = pallas_msm.boundary_merge(
-        bkeys, interleave(hx, tx), interleave(hy, ty), interleave(hz, tz)
-    )
-    leader = jnp.concatenate(
-        [jnp.ones((Wn, 1), bool), bkeys[:, 1:] != bkeys[:, :-1]], axis=1
-    )
-    bidx = (base[:, 0] + _sel(leader & (bkeys > 0), bkeys, DUMP)).reshape(-1)
-    bx = bx.at[:, bidx].set(mx.transpose(1, 0, 2).reshape(NUM_LIMBS, Wn * 2 * V))
-    by = by.at[:, bidx].set(my.transpose(1, 0, 2).reshape(NUM_LIMBS, Wn * 2 * V))
-    bz = bz.at[:, bidx].set(mz.transpose(1, 0, 2).reshape(NUM_LIMBS, Wn * 2 * V))
-
-    def per_window(a):  # (16, Wn*(nb+1)) -> (Wn, 16, nb) without dump slots
-        return a.reshape(NUM_LIMBS, Wn, stride).transpose(1, 0, 2)[:, :, :n_buckets]
-
-    wx, wy, wz = pallas_msm.weighted_bucket_total(
-        per_window(bx), per_window(by), per_window(bz)
-    )
-
-    # phase 3: one fused horner kernel sums 2^(c*w)-scaled window totals
-    tx_, ty_, tz_ = pallas_msm.horner_total(wx, wy, wz, c)
-    return JacPoint(tx_, ty_, tz_)
-
-
-@functools.partial(jax.jit, static_argnames=("curve", "c", "lanes"))
 def _msm_pippenger(
     points_x: jnp.ndarray,
     points_y: jnp.ndarray,
@@ -364,7 +423,10 @@ def _msm_pippenger(
     c: int,
     lanes: int,
 ) -> JacPoint:
-    f = curve.ops
+    """Portable XLA Pippenger (unsigned windows, in-graph bucket scatter).
+
+    The CPU-testable mirror of the fused path; every fused stage has a
+    stage-for-stage equivalent here (see _msm_pippenger_fused)."""
     n = scalars.shape[0]
     V = min(lanes, max(1, n))
     L = -(-n // V)
@@ -382,8 +444,6 @@ def _msm_pippenger(
         pinf = jnp.take(points_inf, order, axis=0) | (keys == 0)
         if pad:
             keys = jnp.concatenate([jnp.full((pad,), -1, keys.dtype), keys])
-            # pad with (inf) points at front, keyed -1 so they sort-stable ahead;
-            # we padded *after* sorting, so prepend instead (keys stay sorted)
             px = jnp.concatenate([jnp.zeros((pad, *px.shape[1:]), px.dtype), px])
             py = jnp.concatenate([jnp.zeros((pad, *py.shape[1:]), py.dtype), py])
             pinf = jnp.concatenate([jnp.ones((pad,), bool), pinf])
@@ -415,7 +475,6 @@ def _msm_pippenger(
             pi = jax.lax.dynamic_index_in_dim(pinf, t, axis=1, keepdims=False)
             same = k == cur_key
             emit = ~same
-            # route finished run: head runs park in head_*, interior runs scatter
             to_head = emit & is_head
             head_key = _sel(to_head, cur_key, head_key)
             head_pt = curve.select(to_head, acc, head_pt)
@@ -437,14 +496,11 @@ def _msm_pippenger(
             1, L, step, seed(None)
         )
 
-        # final run of each lane: if the chunk was a single run it is a head,
-        # otherwise a tail.
         tail_key = _sel(is_head, -1, cur_key)
         tail_pt = curve.select(is_head, curve.infinity((V,)), acc)
         head_key = _sel(is_head, cur_key, head_key)
         head_pt = curve.select(is_head, acc, head_pt)
 
-        # boundary sequence in global sorted order: head_0, tail_0, head_1, ...
         bkeys = jnp.stack([head_key, tail_key], axis=1).reshape(2 * V)
         bpts = jax.tree.map(
             lambda h, t: jnp.stack([h, t], axis=1).reshape(2 * V, *h.shape[1:]),
@@ -452,8 +508,6 @@ def _msm_pippenger(
             tail_pt,
         )
         bpts = JacPoint(*bpts)
-        # fill sentinel keys (-1/-2) with the previous real key so equal-key
-        # runs are contiguous; their points are infinity, so they add nothing.
         bkeys = jax.lax.cummax(bkeys)
         totals, leader = _segmented_suffix_totals(bkeys, bpts, curve)
         idx = _sel(leader & (bkeys > 0), bkeys, DUMP)
@@ -463,9 +517,7 @@ def _msm_pippenger(
             buckets.z.at[idx].set(totals.z),
         )
 
-        # weighted reduction: sum_b b*B_b = sum_{b>=1} SuffixSum_b
         return _weighted_bucket_total(curve, buckets, n_buckets)
 
-    # one traced window_sum instance, mapped over all windows sequentially
     wins = jax.lax.map(window_sum, digits_all)
     return _horner_windows(curve, wins, n_windows, c)

@@ -1,22 +1,35 @@
-"""Fused Pallas kernel for the MSM window chunk-scan.
+"""Fused Pallas kernels for the Pippenger MSM (G1 and G2).
 
-The Pippenger inner loop in ops/msm.py (the `step` body under fori_loop)
-performs, per step: dynamic slices, one mixed EC add, run-boundary
-bookkeeping, and a 3-coordinate bucket scatter — each as separate XLA ops
-with limb-minor<->limb-major relayouts around every Pallas group-law call.
+Round-2 design. Five kernels, each parameterized by the coordinate field
+("fq" for G1, "fq2" for G2 — the reference instantiates its C++ Curve
+template the same two ways, alt_bn128.hpp:9-69):
 
-This kernel fuses the whole scan: the per-lane accumulator and head-run
-state live in VMEM scratch across grid steps, each grid step consumes one
-(16, TILE) limb-major block of sorted points and performs the complete
-madd + run bookkeeping in-register, and finished interior runs stream out
-to a dense (L, V) emit buffer. The bucket scatter then happens ONCE per
-window over the emit buffer instead of once per step.
+1. ``window_scan`` — the bucket-accumulation scan. Grid step t consumes one
+   V-element slab of the window's digit-sorted point stream and performs a
+   complete mixed add per lane with accumulator state in VMEM scratch. Each
+   slab's *pre-add accumulator state* streams to the emit buffer; interior
+   run totals are later *gathered* from it at positions computed from the
+   sorted keys alone (ops/msm.py) — the round-1 design's 3-coordinate
+   million-entry bucket scatter is gone entirely.
+2. ``boundary_merge`` — log-step segmented suffix scan over the per-window
+   2V-entry head/tail boundary sequence (runs that cross slab-lane
+   boundaries).
+3. ``bucket_accum`` — the weighted bucket reduction, stage 1: sequential
+   grid walk over the dense bucket table from the top, maintaining per-lane
+   running suffix R_l and once-integrated W_l. This is the vector form of
+   the reference's sequential running-sum reduction (multiexp.cpp:132-180):
+   O(NB) EC adds per window instead of the O(NB log NB) of a pure
+   Hillis-Steele scan, which is what makes 15-16-bit windows affordable.
+4. ``bucket_combine`` — stage 2: per window,
+   sum_b b·B_b = V·Σ_l(W_l − R_l) + Σ_l l·R_l, with the lane sums done as
+   log-step (segment-free) suffix scans over one (8, 128) tile.
+5. ``horner_total`` — sum_w 2^(c·w)·W_w over ≤128 windows in lanes.
 
-Grid: (V / TILE, L) — lane tiles outer, steps inner; TPU grids execute
-sequentially so scratch carries state along the step axis, reset at t==0.
-
-Data layout: limb-major (16, ...) everywhere, so the kernel consumes the
-MSM's master point table gathers directly with no per-window transposes.
+Data layout: a V-element lane block is (8, V//8) — dense (8, 128) VPU
+register tiles (the round-1 kernels sliced (TILE,) 1-D rows, which Mosaic
+lays out one sublane wide). Field elements are limb lists over such tiles
+(ops/pallas_ec.py). Point blocks stack coordinate rows: (16, ...) for Fq,
+(32, ...) for Fq2.
 """
 
 from __future__ import annotations
@@ -28,65 +41,272 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..fields.limbs import NUM_LIMBS
-from .pallas_curve import TILE, _MONT_ONE, _add_core, _dbl, _madd_core, _sel
+from .pallas_ec import (
+    KFQ,
+    KFQ2,
+    add_core,
+    dbl_core,
+    field_for,
+    madd_core,
+    sel,
+)
 
 _INTERPRET = False
 
+_W = 128  # lane width of reduction-kernel (r, 128) row-major blocks
+RV = 1024  # element count per reduction tile: one (8, 128) register tile
 
-_W = 128  # lane width of the reduction kernels' (R, 128) row-major blocks
 
+def _vmem():
+    return pltpu.VMEM
+
+
+# ---- generic point-as-coordinate-rows helpers ------------------------------
+
+def _ridx(i, pre=(), post=()):
+    """Ref index tuple for coordinate row i with fixed pre/post block dims."""
+    return (*pre, i, *post) if (pre or post) else i
+
+
+def _load_pt(F, xr, yr, zr, pre=(), post=()):
+    return (
+        F.load(lambda i: xr[_ridx(i, pre, post)]),
+        F.load(lambda i: yr[_ridx(i, pre, post)]),
+        F.load(lambda i: zr[_ridx(i, pre, post)]),
+    )
+
+
+def _store_pt(F, xr, yr, zr, pt, pre=(), post=()):
+    x, y, z = pt
+    F.store(lambda i, v: xr.__setitem__(_ridx(i, pre, post), v), x)
+    F.store(lambda i, v: yr.__setitem__(_ridx(i, pre, post), v), y)
+    F.store(lambda i, v: zr.__setitem__(_ridx(i, pre, post), v), z)
+
+
+def _map_pt(F, fn, pt):
+    return tuple(F.map_el(fn, c) for c in pt)
+
+
+def _pt_to_list(F, pt):
+    """Point -> flat list of 3*F.rows limb arrays (for fori_loop carry)."""
+    out = [None] * (3 * F.rows)
+    for ci, coord in enumerate(pt):
+        F.store(lambda i, v, ci=ci: out.__setitem__(ci * F.rows + i, v), coord)
+    return out
+
+
+def _pt_from_list(F, flat):
+    k = F.rows
+    return (
+        F.load(lambda i: flat[i]),
+        F.load(lambda i: flat[k + i]),
+        F.load(lambda i: flat[2 * k + i]),
+    )
+
+
+# ---- 1. window scan ---------------------------------------------------------
+
+def _scan_kernel_body(F, assume_distinct):
+    def kernel(
+        keys_ref, flags_ref, px_ref, py_ref,
+        ex_ref, ey_ref, ez_ref,
+        hk_ref, hx_ref, hy_ref, hz_ref,
+        tk_ref, tx_ref, ty_ref, tz_ref,
+        cur_key, accx, accy, accz, is_head, head_key,
+    ):
+        t = pl.program_id(0)
+        L = pl.num_programs(0)
+        first = t == 0
+        last = t == L - 1
+
+        k = keys_ref[0]  # (8, Wd) i32
+        flags = flags_ref[0]
+        q_inf = (flags & 1) != 0
+        q_neg = (flags & 2) != 0
+        x2 = F.load(lambda i: px_ref[i, 0])
+        y2 = F.load(lambda i: py_ref[i, 0])
+        y2 = F.select(q_neg, F.neg_raw(y2), y2)
+
+        prev_key = cur_key[:]
+        x1 = F.load(lambda i: accx[i])
+        y1 = F.load(lambda i: accy[i])
+        z1 = F.load(lambda i: accz[i])
+        was_head = is_head[:] != 0
+        prev_hkey = head_key[:]
+
+        # scratch holds garbage at t==0; `first` masks every read of it.
+        # emit slab t = the pre-add accumulator state (interior run totals
+        # are gathered from slab end+1 by ops/msm.py).
+        F.store(lambda i, v: ex_ref.__setitem__((i, 0), v), x1)
+        F.store(lambda i, v: ey_ref.__setitem__((i, 0), v), y1)
+        F.store(lambda i, v: ez_ref.__setitem__((i, 0), v), z1)
+
+        same = (k == prev_key) & ~first
+        emit = ~same & ~first
+
+        # a lane's first run parks in the head outputs
+        to_head = emit & was_head
+        head_key[:] = sel(first, -2, sel(to_head, prev_key, prev_hkey))
+
+        def upd(ref):
+            def put(i, v):
+                ref[i, 0] = v
+            return put
+
+        hx = F.load(lambda i: hx_ref[i, 0])
+        hy = F.load(lambda i: hy_ref[i, 0])
+        hz = F.load(lambda i: hz_ref[i, 0])
+        zpt = (F.zero_like(x1), F.zero_like(x1), F.zero_like(x1))
+        hx2 = F.select(first, zpt[0], F.select(to_head, x1, hx))
+        hy2 = F.select(first, zpt[1], F.select(to_head, y1, hy))
+        hz2 = F.select(first, zpt[2], F.select(to_head, z1, hz))
+        F.store(upd(hx_ref), hx2)
+        F.store(upd(hy_ref), hy2)
+        F.store(upd(hz_ref), hz2)
+
+        # int32 select: Mosaic cannot legalize selects between i1 vectors
+        now_head_i = sel(first, 1, (was_head & same).astype(jnp.int32))
+        is_head[:] = now_head_i
+        now_head = now_head_i != 0
+
+        # accumulate: grow the run or start fresh from the affine point
+        gx, gy, gz = madd_core(F, x1, y1, z1, x2, y2, q_inf,
+                               assume_distinct=assume_distinct)
+        one = F.one_like(x2)
+        qz = F.select(q_inf, F.zero_like(x2), one)
+        F.store(lambda i, v: accx.__setitem__(i, v), F.select(same, gx, x2))
+        F.store(lambda i, v: accy.__setitem__(i, v), F.select(same, gy, y2))
+        F.store(lambda i, v: accz.__setitem__(i, v), F.select(same, gz, qz))
+        cur_key[:] = k
+
+        # finalize: the lane's last run is a head if it spans the whole
+        # chunk, otherwise a tail
+        @pl.when(last)
+        def _():
+            ax = F.load(lambda i: accx[i])
+            ay = F.load(lambda i: accy[i])
+            az = F.load(lambda i: accz[i])
+            final_head = now_head
+            tk_ref[0] = sel(final_head, -1, k)
+            hk_ref[0] = sel(final_head, k, head_key[:])
+            F.store(upd(tx_ref), F.select(final_head, zpt[0], ax))
+            F.store(upd(ty_ref), F.select(final_head, zpt[1], ay))
+            F.store(upd(tz_ref), F.select(final_head, zpt[2], az))
+            hx3 = F.load(lambda i: hx_ref[i, 0])
+            hy3 = F.load(lambda i: hy_ref[i, 0])
+            hz3 = F.load(lambda i: hz_ref[i, 0])
+            F.store(upd(hx_ref), F.select(final_head, ax, hx3))
+            F.store(upd(hy_ref), F.select(final_head, ay, hy3))
+            F.store(upd(hz_ref), F.select(final_head, az, hz3))
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _build_scan(tag: str, V: int, L: int, assume_distinct: bool):
+    F = field_for(tag)
+    R = F.rows
+    Wd = V // 8
+    key_in = pl.BlockSpec((1, 8, Wd), lambda t: (t, 0, 0), memory_space=_vmem())
+    pt_in = pl.BlockSpec((R, 1, 8, Wd), lambda t: (0, t, 0, 0), memory_space=_vmem())
+    key_out1 = pl.BlockSpec((1, 8, Wd), lambda t: (0, 0, 0), memory_space=_vmem())
+    pt_out1 = pl.BlockSpec((R, 1, 8, Wd), lambda t: (0, 0, 0, 0), memory_space=_vmem())
+
+    emit_shape = jax.ShapeDtypeStruct((R, L, 8, Wd), jnp.uint32)
+    k1_shape = jax.ShapeDtypeStruct((1, 8, Wd), jnp.int32)
+    p1_shape = jax.ShapeDtypeStruct((R, 1, 8, Wd), jnp.uint32)
+
+    return pl.pallas_call(
+        _scan_kernel_body(F, assume_distinct),
+        grid=(L,),
+        in_specs=[key_in, key_in, pt_in, pt_in],
+        out_specs=(
+            pt_in, pt_in, pt_in,
+            key_out1, pt_out1, pt_out1, pt_out1,
+            key_out1, pt_out1, pt_out1, pt_out1,
+        ),
+        out_shape=(
+            emit_shape, emit_shape, emit_shape,
+            k1_shape, p1_shape, p1_shape, p1_shape,
+            k1_shape, p1_shape, p1_shape, p1_shape,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, Wd), jnp.int32),       # cur_key
+            pltpu.VMEM((R, 8, Wd), jnp.uint32),   # acc x
+            pltpu.VMEM((R, 8, Wd), jnp.uint32),   # acc y
+            pltpu.VMEM((R, 8, Wd), jnp.uint32),   # acc z
+            pltpu.VMEM((8, Wd), jnp.int32),       # is_head
+            pltpu.VMEM((8, Wd), jnp.int32),       # head_key
+        ],
+        interpret=_INTERPRET,
+    )
+
+
+def window_scan(tag: str, keys, flags, px, py, *, V: int, assume_distinct=True):
+    """Scan one window's sorted stream.
+
+    keys/flags: (L, 8, V//8) i32 — sorted digits / bit0=inf|bit1=negate,
+    slab-major (slab t, lane row-major). px/py: (R, L, 8, V//8) u32 gathered
+    affine coordinates in the same order.
+
+    Returns (emit x/y/z (R, L, 8, V//8) — slab t holds the pre-add
+    accumulator state; head_key/tail_key (1, 8, V//8); head/tail points
+    (R, 1, 8, V//8) x3 each).
+    """
+    L = keys.shape[0]
+    return _build_scan(tag, V, L, assume_distinct)(keys, flags, px, py)
+
+
+# ---- shared log-step suffix machinery (row-major (r, 128) blocks) ----------
 
 def _lane_flat_roll(x, s):
-    """Left-shift by a traced s < 128 in row-major order of a (R, 128)
-    block: lanes rotate dynamically (legal: tpu.dynamic_rotate on the lane
-    dim), entries that cross a row boundary come from the next row (static
-    sublane roll by 1)."""
+    """Left-shift by a traced s in [1, 127] in row-major order of a (r, 128)
+    block: lanes rotate dynamically, entries crossing a row boundary come
+    from the next row."""
     if _INTERPRET:
         hit = jnp.roll(x, -s, axis=1)
         wrap = jnp.roll(jnp.roll(x, -1, axis=0), -s, axis=1)
     else:
-        # s is always in [1, 127], so left-shift s == right-rotate _W - s;
-        # no traced `%` (jnp's remainder wrapper trips the same jax-0.9
-        # closed_call lowering bug as jnp.where — see _sel)
         hit = pltpu.roll(x, _W - s, axis=1)
         nxt = pltpu.roll(x, x.shape[0] - 1, axis=0) if x.shape[0] > 1 else x
         wrap = pltpu.roll(nxt, _W - s, axis=1)
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return _sel(col + s < _W, hit, wrap)
+    return sel(col + s < _W, hit, wrap)
 
 
 def _row_roll(x, q: int):
-    """Left-shift by the static row count q in row-major order (s = q*128)."""
+    """Left-shift by the static row count q (s = q*128)."""
     if _INTERPRET:
         return jnp.roll(x, -q, axis=0)
     rows = x.shape[0]
     return pltpu.roll(x, (rows - q % rows) % rows, axis=0) if q % rows else x
 
 
-def _masked_step(pt, valid, roll):
-    """One Hillis-Steele pass: acc += roll(acc) where valid, else +infinity
+def _flat_iota(shape):
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return row * shape[1] + col
+
+
+def _masked_step(F, pt, valid, roll):
+    """One Hillis-Steele pass: acc += roll(acc) where valid else +infinity
     (z = 0 partners are absorbed by the complete add)."""
     x, y, z = pt
-    rx = [roll(v) for v in x]
-    ry = [roll(v) for v in y]
-    rz = [_sel(valid, roll(v), 0) for v in z]
-    return _add_core(x, y, z, rx, ry, rz)
+    rx = F.map_el(roll, x)
+    ry = F.map_el(roll, y)
+    rz = F.map_el(lambda v: sel(valid, roll(v), 0), z)
+    return add_core(F, x, y, z, rx, ry, rz)
 
 
-def _suffix_passes(pt, keys, n_repeats: int):
-    """`n_repeats` full inclusive suffix-sum scans over the row-major
-    (R, 128) blocks of pt, segmented by `keys` (pass keys=None for an
-    unsegmented scan).
+def _suffix_passes(F, pt, keys, n_repeats: int):
+    """`n_repeats` full inclusive suffix-sum scans over the row-major (r, 128)
+    blocks of pt, segmented by `keys` (None = unsegmented).
 
     Lane-level passes (shift 1..64) run under one fori_loop with a dynamic
-    lane rotate — the kernel graph holds ONE group-law instance for all of
-    them (fully unrolled scans take Mosaic/XLA tens of minutes to compile
-    on 1-core build hosts). Row-level passes (shift = 128*2^j) need a
-    sublane rotate whose amount Mosaic requires static, so those few
-    unroll.
+    lane rotate so the kernel graph holds ONE group-law instance for them;
+    row-level passes (static sublane rotate) unroll.
     """
-    shape = pt[0][0].shape
+    shape = (pt[0][0] if F is KFQ else pt[0][0][0]).shape
     m = shape[0] * shape[1]
     idx = _flat_iota(shape)
     lane_steps = min(max(m - 1, 1).bit_length(), 7)
@@ -99,184 +319,46 @@ def _suffix_passes(pt, keys, n_repeats: int):
         return valid
 
     for _rep in range(n_repeats):
-        flat = [c for coord in pt for c in coord]
+        flat = _pt_to_list(F, pt)
 
         def lane_body(p, flat):
             s = jnp.left_shift(1, p)
-            pt = (flat[:NUM_LIMBS], flat[NUM_LIMBS : 2 * NUM_LIMBS], flat[2 * NUM_LIMBS :])
+            cur = _pt_from_list(F, flat)
             rk = _lane_flat_roll(keys, s) if keys is not None else None
-            nx, ny, nz = _masked_step(pt, ok(rk, s), lambda v: _lane_flat_roll(v, s))
-            return nx + ny + nz
+            nxt = _masked_step(F, cur, ok(rk, s), lambda v: _lane_flat_roll(v, s))
+            return _pt_to_list(F, nxt)
 
         flat = jax.lax.fori_loop(0, lane_steps, lane_body, flat)
-        pt = (flat[:NUM_LIMBS], flat[NUM_LIMBS : 2 * NUM_LIMBS], flat[2 * NUM_LIMBS :])
+        pt = _pt_from_list(F, flat)
         for j in range(row_steps):
             q = 1 << j
             rk = _row_roll(keys, q) if keys is not None else None
-            pt = _masked_step(pt, ok(rk, q * _W), lambda v: _row_roll(v, q))
+            pt = _masked_step(F, pt, ok(rk, q * _W), lambda v: _row_roll(v, q))
     return pt
 
 
-def _flat_iota(shape):
-    """Row-major linear index of each element of a 2D block."""
-    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    return row * shape[1] + col
+# ---- 2. boundary merge ------------------------------------------------------
+
+def _merge_kernel_body(F):
+    def kernel(keys_ref, px_ref, py_ref, pz_ref, ox_ref, oy_ref, oz_ref):
+        keys = keys_ref[0]
+        pt = _load_pt(F, px_ref, py_ref, pz_ref, pre=(0,))
+        pt = _suffix_passes(F, pt, keys, 1)
+        _store_pt(F, ox_ref, oy_ref, oz_ref, pt, pre=(0,))
+
+    return kernel
 
 
-def _scan_kernel(
-    keys_ref, px_ref, py_ref, pinf_ref,
-    ekey_ref, ex_ref, ey_ref, ez_ref,
-    hkey_ref, hx_ref, hy_ref, hz_ref,
-    tkey_ref, tx_ref, ty_ref, tz_ref,
-    cur_key, accx, accy, accz, is_head, head_key,
-):
-    t = pl.program_id(0)
-    L = pl.num_programs(0)
-    first = t == 0
-    last = t == L - 1
-
-    k = keys_ref[0, :]  # (TILE,) i32
-    x2 = [px_ref[i, :] for i in range(NUM_LIMBS)]
-    y2 = [py_ref[i, :] for i in range(NUM_LIMBS)]
-    q_inf = pinf_ref[0, :] != 0
-
-    prev_key = cur_key[0, :]
-    x1 = [accx[i, :] for i in range(NUM_LIMBS)]
-    y1 = [accy[i, :] for i in range(NUM_LIMBS)]
-    z1 = [accz[i, :] for i in range(NUM_LIMBS)]
-    was_head = is_head[0, :] != 0
-    prev_hkey = head_key[0, :]
-
-    # scratch holds garbage at t==0; `first` masks every read of it
-    same = (k == prev_key) & ~first
-    emit = ~same & ~first
-
-    # route the finished run: a lane's first run parks in head_*, interior
-    # runs stream to the emit buffer (scattered to buckets afterwards)
-    to_head = emit & was_head
-    new_hkey = _sel(first, -2, _sel(to_head, prev_key, prev_hkey))
-    head_key[0, :] = new_hkey
-    for i in range(NUM_LIMBS):
-        hx_ref[i, :] = _sel(first, 0, _sel(to_head, x1[i], hx_ref[i, :]))
-        hy_ref[i, :] = _sel(first, 0, _sel(to_head, y1[i], hy_ref[i, :]))
-        hz_ref[i, :] = _sel(first, 0, _sel(to_head, z1[i], hz_ref[i, :]))
-
-    to_bucket = emit & ~was_head
-    ekey_ref[0, :] = _sel(to_bucket, prev_key, -1)
-    for i in range(NUM_LIMBS):
-        ex_ref[i, :] = x1[i]
-        ey_ref[i, :] = y1[i]
-        ez_ref[i, :] = z1[i]
-
-    # int32 select: Mosaic cannot legalize selects between i1 vectors
-    now_head_i = _sel(first, 1, (was_head & same).astype(jnp.int32))
-    is_head[0, :] = now_head_i
-    now_head = now_head_i != 0
-
-    # accumulate: grow the run or start a fresh one from the affine point
-    gx, gy, gz = _madd_core(x1, y1, z1, x2, y2, q_inf)
-    one = [jnp.full_like(x2[0], c) for c in _MONT_ONE]
-    for i in range(NUM_LIMBS):
-        accx[i, :] = _sel(same, gx[i], x2[i])
-        accy[i, :] = _sel(same, gy[i], y2[i])
-        accz[i, :] = _sel(same, gz[i], _sel(q_inf, 0, one[i]))
-    cur_key[0, :] = k
-
-    # finalize: the lane's last run is a head if it spans the whole chunk,
-    # otherwise a tail (mirrors the post-loop logic in ops/msm.py)
-    @pl.when(last)
-    def _():
-        final_head = now_head
-        hkey2 = head_key[0, :]
-        tkey_ref[0, :] = _sel(final_head, -1, k)
-        hkey_ref[0, :] = _sel(final_head, k, hkey2)
-        for i in range(NUM_LIMBS):
-            ax, ay, az = accx[i, :], accy[i, :], accz[i, :]
-            tx_ref[i, :] = _sel(final_head, 0, ax)
-            ty_ref[i, :] = _sel(final_head, 0, ay)
-            tz_ref[i, :] = _sel(final_head, 0, az)
-            hx_ref[i, :] = _sel(final_head, ax, hx_ref[i, :])
-            hy_ref[i, :] = _sel(final_head, ay, hy_ref[i, :])
-            hz_ref[i, :] = _sel(final_head, az, hz_ref[i, :])
-
-
-@functools.lru_cache(maxsize=8)
-def _build_scan(L: int):
-    """Scan over one window's stream, flattened step-major: all arrays are
-    2D (rows, L*TILE) and each grid step t consumes/produces the TILE-wide
-    column slab t — no 3D relayouts anywhere (V is fixed at one TILE)."""
-    key_block = pl.BlockSpec((1, TILE), lambda t: (0, t), memory_space=pltpu.VMEM)
-    pt_block = pl.BlockSpec(
-        (NUM_LIMBS, TILE), lambda t: (0, t), memory_space=pltpu.VMEM
-    )
-    bkey_block = pl.BlockSpec((1, TILE), lambda t: (0, 0), memory_space=pltpu.VMEM)
-    bpt_block = pl.BlockSpec(
-        (NUM_LIMBS, TILE), lambda t: (0, 0), memory_space=pltpu.VMEM
-    )
-    key_shape = jax.ShapeDtypeStruct((1, L * TILE), jnp.int32)
-    pt_shape = jax.ShapeDtypeStruct((NUM_LIMBS, L * TILE), jnp.uint32)
-    bkey_shape = jax.ShapeDtypeStruct((1, TILE), jnp.int32)
-    bpt_shape = jax.ShapeDtypeStruct((NUM_LIMBS, TILE), jnp.uint32)
-
-    return pl.pallas_call(
-        _scan_kernel,
-        grid=(L,),
-        in_specs=[key_block, pt_block, pt_block, key_block],
-        out_specs=(
-            key_block, pt_block, pt_block, pt_block,
-            bkey_block, bpt_block, bpt_block, bpt_block,
-            bkey_block, bpt_block, bpt_block, bpt_block,
-        ),
-        out_shape=(
-            key_shape, pt_shape, pt_shape, pt_shape,
-            bkey_shape, bpt_shape, bpt_shape, bpt_shape,
-            bkey_shape, bpt_shape, bpt_shape, bpt_shape,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((1, TILE), jnp.int32),      # cur_key
-            pltpu.VMEM((NUM_LIMBS, TILE), jnp.uint32),  # acc x
-            pltpu.VMEM((NUM_LIMBS, TILE), jnp.uint32),  # acc y
-            pltpu.VMEM((NUM_LIMBS, TILE), jnp.uint32),  # acc z
-            pltpu.VMEM((1, TILE), jnp.int32),      # is_head
-            pltpu.VMEM((1, TILE), jnp.int32),      # head_key
-        ],
-        interpret=_INTERPRET,
-    )
-
-
-def _boundary_merge_kernel(keys_ref, px_ref, py_ref, pz_ref, ox_ref, oy_ref, oz_ref):
-    """Segmented inclusive suffix sums over one window's key-sorted
-    boundary sequence (grid: one step per window).
-
-    After the scan the first (leader) position of each equal-key segment
-    holds the segment total (ops/msm.py _segmented_suffix_totals, fused:
-    all log2(M) passes run in VMEM in one kernel invocation). Data is
-    row-major (M/128, 128) so every pass runs at full VPU lane occupancy.
-    """
-    keys = keys_ref[0]
-    pt = (
-        [px_ref[0, i] for i in range(NUM_LIMBS)],
-        [py_ref[0, i] for i in range(NUM_LIMBS)],
-        [pz_ref[0, i] for i in range(NUM_LIMBS)],
-    )
-    pt = _suffix_passes(pt, keys, 1)
-    for i in range(NUM_LIMBS):
-        ox_ref[0, i] = pt[0][i]
-        oy_ref[0, i] = pt[1][i]
-        oz_ref[0, i] = pt[2][i]
-
-
-@functools.lru_cache(maxsize=8)
-def _build_boundary_merge(n_win: int, m: int):
+@functools.lru_cache(maxsize=16)
+def _build_merge(tag: str, n_win: int, m: int):
+    F = field_for(tag)
+    R = F.rows
     r = m // _W
-    key_spec = pl.BlockSpec((1, r, _W), lambda w: (w, 0, 0), memory_space=pltpu.VMEM)
-    pt_spec = pl.BlockSpec(
-        (1, NUM_LIMBS, r, _W), lambda w: (w, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    pt_shape = jax.ShapeDtypeStruct((n_win, NUM_LIMBS, r, _W), jnp.uint32)
+    key_spec = pl.BlockSpec((1, r, _W), lambda w: (w, 0, 0), memory_space=_vmem())
+    pt_spec = pl.BlockSpec((1, R, r, _W), lambda w: (w, 0, 0, 0), memory_space=_vmem())
+    pt_shape = jax.ShapeDtypeStruct((n_win, R, r, _W), jnp.uint32)
     return pl.pallas_call(
-        _boundary_merge_kernel,
+        _merge_kernel_body(F),
         grid=(n_win,),
         in_specs=[key_spec, pt_spec, pt_spec, pt_spec],
         out_specs=(pt_spec, pt_spec, pt_spec),
@@ -285,183 +367,208 @@ def _build_boundary_merge(n_win: int, m: int):
     )
 
 
-def _window_chunks(n_win: int, m: int) -> int:
-    """Windows per kernel call, keeping call tensors <= ~8MB: XLA stack-
-    allocates Mosaic call operands/results in VMEM, so oversized batches
-    blow the 128MB budget."""
-    per_win = NUM_LIMBS * m * 4 * 3
-    return max(1, min(n_win, (8 << 20) // max(per_win, 1)))
-
-
-def boundary_merge(keys, px, py, pz):
-    """Batched over windows: keys (Wn, M) i32 (cummax-filled per window),
-    points limb-major (Wn, 16, M), M % 128 == 0.
-
-    Returns suffix-merged totals (Wn, 16, M) x3; leader positions (first
-    of each equal-key segment) hold the segment totals.
-    """
+def boundary_merge(tag: str, keys, px, py, pz):
+    """keys (Wn, M) i32 (cummax-filled, sorted per window), points
+    (Wn, R, M). Returns suffix-merged totals (Wn, R, M) x3; the first
+    (leader) position of each equal-key segment holds the segment total."""
     n_win, m = keys.shape
+    R = field_for(tag).rows
     r = m // _W
-    chunk = _window_chunks(n_win, m)
+    per_win = R * m * 4 * 3
+    chunk = max(1, min(n_win, (8 << 20) // max(per_win, 1)))
     parts = []
     for s in range(0, n_win, chunk):
         e = min(s + chunk, n_win)
-        outs = _build_boundary_merge(e - s, m)(
+        outs = _build_merge(tag, e - s, m)(
             keys[s:e].reshape(e - s, r, _W),
-            px[s:e].reshape(e - s, NUM_LIMBS, r, _W),
-            py[s:e].reshape(e - s, NUM_LIMBS, r, _W),
-            pz[s:e].reshape(e - s, NUM_LIMBS, r, _W),
+            px[s:e].reshape(e - s, R, r, _W),
+            py[s:e].reshape(e - s, R, r, _W),
+            pz[s:e].reshape(e - s, R, r, _W),
         )
-        parts.append(tuple(o.reshape(e - s, NUM_LIMBS, m) for o in outs))
+        parts.append(tuple(o.reshape(e - s, R, m) for o in outs))
     if len(parts) == 1:
         return parts[0]
     return tuple(jnp.concatenate([p[i] for p in parts]) for i in range(3))
 
 
-def _weighted_total_kernel(px_ref, py_ref, pz_ref, ox_ref, oy_ref, oz_ref):
-    """sum_{b>=1} b * B_b over one window's dense bucket table (grid: one
-    step per window), via two fused suffix-sum scans (suf[b] =
-    sum_{b'>=b} B_b'; total = sum_{b>=1} suf[b] = second-scan suffix sum at
-    flat index 1) — the vectorized form of the reference's running-sum
-    reduction (multiexp.cpp:132-180)."""
-    pt = (
-        [px_ref[0, i] for i in range(NUM_LIMBS)],
-        [py_ref[0, i] for i in range(NUM_LIMBS)],
-        [pz_ref[0, i] for i in range(NUM_LIMBS)],
-    )
-    pt = _suffix_passes(pt, None, 2)
-    for i in range(NUM_LIMBS):
-        ox_ref[0, i] = pt[0][i][0:1, 1:2]  # flat index 1 = row 0, lane 1
-        oy_ref[0, i] = pt[1][i][0:1, 1:2]
-        oz_ref[0, i] = pt[2][i][0:1, 1:2]
+# ---- 3. sequential weighted bucket accumulation ----------------------------
 
+def _accum_kernel_body(F):
+    def kernel(
+        bx_ref, by_ref, bz_ref,
+        rx_ref, ry_ref, rz_ref, wx_ref, wy_ref, wz_ref,
+        sx, sy, sz, vx, vy, vz,
+    ):
+        s = pl.program_id(1)
+        S = pl.num_programs(1)
+        first = s == 0
+        last = s == S - 1
 
-@functools.lru_cache(maxsize=8)
-def _build_weighted_total(n_win: int, m: int):
-    r = m // _W
-    in_spec = pl.BlockSpec(
-        (1, NUM_LIMBS, r, _W), lambda w: (w, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    out_spec = pl.BlockSpec(
-        (1, NUM_LIMBS, 1, 1), lambda w: (w, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    out_shape = jax.ShapeDtypeStruct((n_win, NUM_LIMBS, 1, 1), jnp.uint32)
-    return pl.pallas_call(
-        _weighted_total_kernel,
-        grid=(n_win,),
-        in_specs=[in_spec] * 3,
-        out_specs=(out_spec,) * 3,
-        out_shape=(out_shape, out_shape, out_shape),
-        interpret=_INTERPRET,
-    )
+        b = _load_pt(F, bx_ref, by_ref, bz_ref, pre=(0,), post=(0,))
+        zpt = (F.zero_like(b[0]), F.zero_like(b[0]), F.zero_like(b[0]))
 
+        def masked(pt):
+            return tuple(F.select(first, z, c) for z, c in zip(zpt, pt))
 
-def weighted_bucket_total(px, py, pz):
-    """Batched bucket tables limb-major (Wn, 16, NB) x3, NB % 128 == 0 ->
-    per-window points (Wn, 16) x3 = sum_{b>=1} b * B_b."""
-    n_win, _, nb = px.shape
-    r = nb // _W
-    chunk = _window_chunks(n_win, nb)
-    parts = []
-    for s in range(0, n_win, chunk):
-        e = min(s + chunk, n_win)
-        outs = _build_weighted_total(e - s, nb)(
-            px[s:e].reshape(e - s, NUM_LIMBS, r, _W),
-            py[s:e].reshape(e - s, NUM_LIMBS, r, _W),
-            pz[s:e].reshape(e - s, NUM_LIMBS, r, _W),
-        )
-        parts.append(tuple(o.reshape(e - s, NUM_LIMBS) for o in outs))
-    if len(parts) == 1:
-        return parts[0]
-    return tuple(jnp.concatenate([p[i] for p in parts]) for i in range(3))
+        r_prev = masked(_load_pt(F, sx, sy, sz))
+        w_prev = masked(_load_pt(F, vx, vy, vz))
 
+        r_new = add_core(F, *r_prev, *b)
+        w_new = add_core(F, *w_prev, *r_new)
+        _store_pt(F, sx, sy, sz, r_new)
+        _store_pt(F, vx, vy, vz, w_new)
 
-def _horner_kernel_body(c: int, n_win: int):
-    steps = c * (n_win - 1)
-
-    def kernel(px_ref, py_ref, pz_ref, ox_ref, oy_ref, oz_ref):
-        """Final window combine: sum_w 2^(c*w) * W_w.
-
-        Windows live in lanes of (1, 128) rows. Each lane w is doubled
-        c*w times (all lanes batched, lanes that are done are masked), then
-        one unsegmented suffix scan sums the lanes — replaces ~26*(c+1)
-        tiny per-point XLA group ops with one kernel invocation.
-        """
-        wv = jax.lax.broadcasted_iota(jnp.int32, (1, _W), 1)
-        flat = (
-            [px_ref[i : i + 1, 0, :] for i in range(NUM_LIMBS)]
-            + [py_ref[i : i + 1, 0, :] for i in range(NUM_LIMBS)]
-            + [pz_ref[i : i + 1, 0, :] for i in range(NUM_LIMBS)]
-        )
-
-        def body(t, flat):
-            x = flat[:NUM_LIMBS]
-            y = flat[NUM_LIMBS : 2 * NUM_LIMBS]
-            z = flat[2 * NUM_LIMBS :]
-            dx, dy, dz = _dbl(x, y, z)
-            need = t < c * wv
-            x = [_sel(need, a, b) for a, b in zip(dx, x)]
-            y = [_sel(need, a, b) for a, b in zip(dy, y)]
-            z = [_sel(need, a, b) for a, b in zip(dz, z)]
-            return x + y + z
-
-        flat = jax.lax.fori_loop(0, steps, body, flat)
-        pt = (flat[:NUM_LIMBS], flat[NUM_LIMBS : 2 * NUM_LIMBS], flat[2 * NUM_LIMBS :])
-        pt = _suffix_passes(pt, None, 1)
-        for i in range(NUM_LIMBS):
-            ox_ref[i] = pt[0][i][0:1, 0:1]
-            oy_ref[i] = pt[1][i][0:1, 0:1]
-            oz_ref[i] = pt[2][i][0:1, 0:1]
+        @pl.when(last)
+        def _():
+            _store_pt(F, rx_ref, ry_ref, rz_ref, r_new, pre=(0,))
+            _store_pt(F, wx_ref, wy_ref, wz_ref, w_new, pre=(0,))
 
     return kernel
 
 
-@functools.lru_cache(maxsize=8)
-def _build_horner(c: int, n_win: int):
-    out_shape = jax.ShapeDtypeStruct((NUM_LIMBS, 1, 1), jnp.uint32)
+@functools.lru_cache(maxsize=16)
+def _build_accum(tag: str, n_win: int, S: int):
+    F = field_for(tag)
+    R = F.rows
+    rr = RV // _W  # 8
+    in_spec = pl.BlockSpec(
+        (1, R, 1, rr, _W), lambda w, s: (w, 0, S - 1 - s, 0, 0), memory_space=_vmem()
+    )
+    out_spec = pl.BlockSpec(
+        (1, R, rr, _W), lambda w, s: (w, 0, 0, 0), memory_space=_vmem()
+    )
+    out_shape = jax.ShapeDtypeStruct((n_win, R, rr, _W), jnp.uint32)
     return pl.pallas_call(
-        _horner_kernel_body(c, n_win),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
-        out_shape=(out_shape, out_shape, out_shape),
+        _accum_kernel_body(F),
+        grid=(n_win, S),
+        in_specs=[in_spec] * 3,
+        out_specs=(out_spec,) * 6,
+        out_shape=(out_shape,) * 6,
+        scratch_shapes=[pltpu.VMEM((R, rr, _W), jnp.uint32)] * 6,
         interpret=_INTERPRET,
     )
 
 
-def horner_total(wx, wy, wz, c: int):
-    """Window sums (Wn, 16) x3 limb-minor -> total point (16,) x3:
-    sum_w 2^(c*w) * W_w. Requires Wn <= 128."""
-    n_win = wx.shape[0]
+def _combine_kernel_body(F):
+    def kernel(rx_ref, ry_ref, rz_ref, wx_ref, wy_ref, wz_ref, ox_ref, oy_ref, oz_ref):
+        rpt = _load_pt(F, rx_ref, ry_ref, rz_ref, pre=(0,))
+        wpt = _load_pt(F, wx_ref, wy_ref, wz_ref, pre=(0,))
+        # W - R = Σ_s s·B[s·V+l] per lane (EC subtract = add of negated y)
+        negr = (rpt[0], F.neg_raw(rpt[1]), rpt[2])
+        wmr = add_core(F, *wpt, *negr)
+        # P = Σ_l (W-R)_l : one unsegmented suffix scan, total at flat 0
+        p = _suffix_passes(F, wmr, None, 1)
+        # Q = Σ_l l·R_l : double suffix scan, value at flat index 1
+        q = _suffix_passes(F, rpt, None, 2)
+        # total = RV·P + Q (log2(RV) doublings, one loop-rolled instance)
+        p = _pt_from_list(F, jax.lax.fori_loop(
+            0,
+            RV.bit_length() - 1,
+            lambda _, fl: _pt_to_list(F, dbl_core(F, *_pt_from_list(F, fl))),
+            _pt_to_list(F, p),
+        ))
+        qa = _map_pt(F, lambda v: _lane_flat_roll(v, 1), q)  # flat 1 -> flat 0
+        tot = add_core(F, *p, *qa)
+        out = _map_pt(F, lambda v: v[0:1, 0:1], tot)
+        _store_pt(F, ox_ref, oy_ref, oz_ref, out, pre=(0,))
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _build_combine(tag: str, n_win: int):
+    F = field_for(tag)
+    R = F.rows
+    rr = RV // _W
+    in_spec = pl.BlockSpec((1, R, rr, _W), lambda w: (w, 0, 0, 0), memory_space=_vmem())
+    out_spec = pl.BlockSpec((1, R, 1, 1), lambda w: (w, 0, 0, 0), memory_space=_vmem())
+    out_shape = jax.ShapeDtypeStruct((n_win, R, 1, 1), jnp.uint32)
+    return pl.pallas_call(
+        _combine_kernel_body(F),
+        grid=(n_win,),
+        in_specs=[in_spec] * 6,
+        out_specs=(out_spec,) * 3,
+        out_shape=(out_shape,) * 3,
+        interpret=_INTERPRET,
+    )
+
+
+def weighted_bucket_total(tag: str, bx, by, bz):
+    """Dense bucket tables (Wn, R, NB) x3 (NB % 1024 == 0, bucket index
+    row-major over (NB/1024, 8, 128); padded buckets must be infinity) ->
+    per-window totals (Wn, R) x3 = sum_b b·B_b.
+
+    Stage 1 walks the table top-down accumulating per-lane running suffix
+    R_l and integral W_l (2 EC adds per 1024 buckets — the sequential
+    optimum); stage 2 combines lanes:
+    sum_b b·B_b = 1024·Σ_l(W_l−R_l) + Σ_l l·R_l.
+    """
+    n_win, R, nb = bx.shape
+    S = nb // RV
+    rr = RV // _W
+    shp = (n_win, R, S, rr, _W)
+    outs = _build_accum(tag, n_win, S)(bx.reshape(shp), by.reshape(shp), bz.reshape(shp))
+    tx, ty, tz = _build_combine(tag, n_win)(*outs)
+    return (
+        tx.reshape(n_win, R),
+        ty.reshape(n_win, R),
+        tz.reshape(n_win, R),
+    )
+
+
+# ---- 5. horner over windows -------------------------------------------------
+
+def _horner_kernel_body(F, c: int, n_win: int):
+    steps = c * (n_win - 1)
+
+    def kernel(px_ref, py_ref, pz_ref, ox_ref, oy_ref, oz_ref):
+        """sum_w 2^(c·w) · W_w: window w in lane w of (1, 128) rows; every
+        lane doubled c·w times (done lanes masked), then one suffix scan."""
+        wv = jax.lax.broadcasted_iota(jnp.int32, (1, _W), 1)
+        pt = _load_pt(F, px_ref, py_ref, pz_ref)
+
+        def body(t, flat):
+            x, y, z = _pt_from_list(F, flat)
+            dx, dy, dz = dbl_core(F, x, y, z)
+            need = t < c * wv
+            return _pt_to_list(F, (
+                F.select(need, dx, x),
+                F.select(need, dy, y),
+                F.select(need, dz, z),
+            ))
+
+        flat = jax.lax.fori_loop(0, steps, body, _pt_to_list(F, pt))
+        pt = _pt_from_list(F, flat)
+        pt = _suffix_passes(F, pt, None, 1)
+        out = _map_pt(F, lambda v: v[0:1, 0:1], pt)
+        _store_pt(F, ox_ref, oy_ref, oz_ref, out)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _build_horner(tag: str, c: int, n_win: int):
+    F = field_for(tag)
+    R = F.rows
+    out_shape = jax.ShapeDtypeStruct((R, 1, 1), jnp.uint32)
+    return pl.pallas_call(
+        _horner_kernel_body(F, c, n_win),
+        in_specs=[pl.BlockSpec(memory_space=_vmem())] * 3,
+        out_specs=(pl.BlockSpec(memory_space=_vmem()),) * 3,
+        out_shape=(out_shape,) * 3,
+        interpret=_INTERPRET,
+    )
+
+
+def horner_total(tag: str, wx, wy, wz, c: int):
+    """Window totals (Wn, R) x3 -> total point (R,) x3: sum_w 2^(c·w)·W_w.
+    Requires Wn <= 128."""
+    n_win, R = wx.shape
     assert n_win <= _W
 
-    def lanes(a):  # (Wn, 16) -> (16, 1, 128): window w in lane w, rest inf
-        a = a.T.reshape(NUM_LIMBS, 1, n_win)
-        pad = _W - n_win
-        return jnp.pad(a, [(0, 0), (0, 0), (0, pad)])
+    def lanes(a):  # (Wn, R) -> (R, 1, 128): window w in lane w, rest inf
+        a = a.T.reshape(R, 1, n_win)
+        return jnp.pad(a, [(0, 0), (0, 0), (0, _W - n_win)])
 
-    outs = _build_horner(c, n_win)(lanes(wx), lanes(wy), lanes(wz))
-    return tuple(o.reshape(NUM_LIMBS) for o in outs)
-
-
-def window_scan(keys, px, py, pinf):
-    """Run the fused chunk scan over one window's sorted stream.
-
-    All arrays are flattened step-major over L*TILE columns: column
-    t*TILE + v holds sorted element v*L + t (lane v, step t), so grid step
-    t consumes one contiguous TILE-wide slab and no 3D relayouts are
-    needed anywhere.
-
-    keys  (1, L*TILE) i32  sorted digits, step-major (-1 padding first)
-    px/py (16, L*TILE) u32 limb-major gathered affine coordinates
-    pinf  (1, L*TILE) i32  infinity mask (nonzero = infinity)
-
-    Returns (emit_key (1, L*TILE), emit x/y/z (16, L*TILE),
-             head_key (1, TILE), head x/y/z (16, TILE),
-             tail_key (1, TILE), tail x/y/z (16, TILE)).
-    """
-    total = keys.shape[-1]
-    assert total % TILE == 0
-    L = total // TILE
-    return _build_scan(L)(
-        keys.reshape(1, total), px, py, pinf.astype(jnp.int32).reshape(1, total)
-    )
+    outs = _build_horner(tag, c, n_win)(lanes(wx), lanes(wy), lanes(wz))
+    return tuple(o.reshape(R) for o in outs)

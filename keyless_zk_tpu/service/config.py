@@ -36,6 +36,10 @@ class ProverServiceConfig:
     # device sweeps (parallel/batch_prover.py).
     batch_proving: bool = False
     max_batch: int = 8
+    # HTTP backpressure: bounded in-flight requests (503 beyond) + socket
+    # read timeout, standing in for the reference's tokio-bounded semantics
+    max_inflight_requests: int = 32
+    request_timeout_secs: int = 30
 
     @classmethod
     def from_yaml(cls, path: str) -> "ProverServiceConfig":

@@ -25,9 +25,31 @@ from .prover_state import ProverServiceState
 from .training_wheels import TrainingWheelsKeyPair
 
 
-def _make_handler(state):
+def _make_handler(state, max_inflight: int = 32, request_timeout: float = 30.0):
+    """Handler with the backpressure the reference gets from tokio semantics:
+    a bounded in-flight-request gate (503 + Retry-After when saturated) and
+    a socket timeout so dead clients can't pin handler threads."""
+    gate = threading.BoundedSemaphore(max_inflight)
+
     class Handler(BaseHTTPRequestHandler):
+        timeout = request_timeout  # socket-level read timeout
+
         def _respond(self):
+            if not gate.acquire(blocking=False):
+                data = json.dumps({"error": "server saturated, retry later"}).encode()
+                self.send_response(503)
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
+            try:
+                self._respond_inner()
+            finally:
+                gate.release()
+
+        def _respond_inner(self):
             length = int(self.headers.get("Content-Length") or 0)
             body = self.rfile.read(length) if length else b""
             status, headers, payload = handle_request(
@@ -77,7 +99,14 @@ def start_metrics_server(port: int) -> ThreadingHTTPServer:
 
 
 def start_prover_service(state, port: int) -> ThreadingHTTPServer:
-    srv = ThreadingHTTPServer(("0.0.0.0", port), _make_handler(state))
+    srv = ThreadingHTTPServer(
+        ("0.0.0.0", port),
+        _make_handler(
+            state,
+            max_inflight=state.config.max_inflight_requests,
+            request_timeout=state.config.request_timeout_secs,
+        ),
+    )
     return srv
 
 

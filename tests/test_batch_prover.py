@@ -77,3 +77,44 @@ def test_batch_queue_coalesces():
             assert verify_groth16(vk, pub, proof.to_json_dict())
     finally:
         batch.shutdown()
+
+
+@pytest.mark.slow
+def test_toy_load_1000():
+    """1000-iteration toy load test (the reference's #[ignore]d
+    dummy_circuit_load_test, prover-service/src/tests/prover_handler.rs:
+    279-290): repeated proves through the batch queue must stay correct and
+    leak-free. KEYLESS_LOAD_ITERS overrides the count."""
+    import json
+    import os
+
+    from keyless_zk_tpu.fields.limbs import ints_to_limbs, limbs_to_ints
+    from keyless_zk_tpu.groth16 import Groth16Prover, load_wtns, load_zkey, verify_groth16
+    from keyless_zk_tpu.parallel.batch_prover import BatchProver
+
+    iters = int(os.environ.get("KEYLESS_LOAD_ITERS", "1000"))
+    pk = load_zkey(TOY + "toy_1.zkey")
+    base = limbs_to_ints(load_wtns(TOY + "toy.wtns").values)
+    vk = json.load(open(TOY + "toy_vk.json"))
+    prover = Groth16Prover(pk)
+    batch = BatchProver(prover, max_batch=8)
+    try:
+        cases = [(2, 3), (3, 2), (1, 6), (6, 1)]
+        done = 0
+        while done < iters:
+            take = min(8, iters - done)
+            ws = []
+            pubs = []
+            for i in range(take):
+                a, b = cases[(done + i) % len(cases)]
+                vals = list(base)
+                vals[1], vals[2] = a, b
+                ws.append(ints_to_limbs(vals))
+                pubs.append([a])
+            proofs = batch.prove_batch(ws)
+            done += take
+            # spot-verify one proof per batch (verify is host-side pairing,
+            # the expensive part under load is the prover)
+            assert verify_groth16(vk, pubs[0], proofs[0].to_json_dict())
+    finally:
+        batch.shutdown()
