@@ -266,6 +266,28 @@ static void fq12_mul(fq12 *r, const fq12 *a, const fq12 *b) {
 
 static void fq12_sqr(fq12 *r, const fq12 *a) { fq12_mul(r, a, a); }
 
+/* f *= (a0 + a1 w + a3 w^3) with a0 in Fq — the Miller line shape.
+ * 6 fq-by-fq2 + 12 fq2 muls vs the generic 36. */
+static void fq12_mul_line(fq12 *f, const fq *a0, const fq2 *a1, const fq2 *a3) {
+    fq2 acc[11];
+    memset(acc, 0, sizeof(acc));
+    for (int j = 0; j < 6; j++) {
+        fq2 t;
+        fq2_mul_fq(&t, &f->g[j], a0);
+        fq2_add(&acc[j], &acc[j], &t);
+        fq2_mul(&t, &f->g[j], a1);
+        fq2_add(&acc[j + 1], &acc[j + 1], &t);
+        fq2_mul(&t, &f->g[j], a3);
+        fq2_add(&acc[j + 3], &acc[j + 3], &t);
+    }
+    for (int k = 8; k >= 6; k--) {
+        fq2 t;
+        fq2_mul_xi(&t, &acc[k]);
+        fq2_add(&acc[k - 6], &acc[k - 6], &t);
+    }
+    memcpy(f->g, acc, 6 * sizeof(fq2));
+}
+
 static void fq12_conj(fq12 *r, const fq12 *a) {
     /* w -> -w (the p^6 Frobenius): negate odd coefficients */
     for (int i = 0; i < 6; i++) {
@@ -390,22 +412,16 @@ static void line_and_step(fq12 *f, g2_t *T, const g2_t *R, const g1_t *P, int db
     fq2_inv(&den, &den);
     fq2_mul(&lambda, &num, &den);
 
-    /* line l(P) = yp - λ xp w + (λ xT - yT) w³  (P coords already mont) */
-    fq12 l;
-    memset(&l, 0, sizeof(l));
-    l.g[0].c0 = P->y;
+    /* line l(P) = yp - λ xp w + (λ xT - yT) w³  (P coords already mont);
+     * multiplied in sparsely */
     {
-        fq2 lx;
-        fq2_mul_fq(&lx, &lambda, &P->x);
-        fq2_neg(&l.g[1], &lx);
+        fq2 a1, a3, t;
+        fq2_mul_fq(&t, &lambda, &P->x);
+        fq2_neg(&a1, &t);
+        fq2_mul(&t, &lambda, &T->x);
+        fq2_sub(&a3, &t, &T->y);
+        fq12_mul_line(f, &P->y, &a1, &a3);
     }
-    {
-        fq2 a1, a2;
-        fq2_mul(&a1, &lambda, &T->x);
-        fq2_sub(&a2, &a1, &T->y);
-        l.g[3] = a2;
-    }
-    fq12_mul(f, f, &l);
 
     /* point update: x3 = λ² - xT - xR ; y3 = λ(xT - x3) - yT */
     {

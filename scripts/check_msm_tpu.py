@@ -1,8 +1,9 @@
 """Quick numeric sanity check of the fused MSM path on the real TPU chip.
 
-Compares msm() against the host reference on a small instance (exercises
-the Mosaic-compiled window_scan / boundary_merge / weighted_total kernels,
-including pltpu.roll semantics that interpret-mode tests cannot cover).
+Compares msm() against the host reference on small instances (exercises the
+Mosaic-compiled window_scan / boundary_merge / weighted_total / horner
+kernels, including pltpu.roll semantics that interpret-mode tests cannot
+cover), for G1 and G2, at L == 1 and L > 1 slab counts.
 """
 
 import os, sys, time
@@ -18,34 +19,38 @@ import numpy as np
 import jax.numpy as jnp
 
 from keyless_zk_tpu.curves import ref_curve
-from keyless_zk_tpu.curves.jacobian import G1_CURVE, JacPoint
+from keyless_zk_tpu.curves.jacobian import G1_CURVE, G2_CURVE, JacPoint
 from keyless_zk_tpu.fields.jax_field import FR
 from keyless_zk_tpu.fields.limbs import ints_to_limbs
 from keyless_zk_tpu.ops import msm as M
 
-n = 1 << 12
+n = int(os.environ.get("N", 1 << 12))
 rng = np.random.default_rng(7)
-pts = [ref_curve.G1.mul(ref_curve.G1_GEN, int(k)) for k in rng.integers(1, 1 << 30, n)]
-pts[3] = None
+ks = rng.integers(1, 1 << 40, n)
 scalars = [int(x) % FR.p for x in rng.integers(0, 1 << 62, n)]
 scalars[0] = 0
 for i in range(0, n, 5):
     scalars[i] = scalars[1]  # digit collisions
-px, py, pinf = G1_CURVE.encode_affine(pts)
 slimbs = jnp.asarray(ints_to_limbs(scalars))
 
-want = None
-for p, k in zip(pts, scalars):
-    if p is None or k == 0:
-        continue
-    want = ref_curve.G1.add(want, ref_curve.G1.mul(p, k))
+failures = 0
+for label, group, curve in (("G1", ref_curve.G1, G1_CURVE), ("G2", ref_curve.G2, G2_CURVE)):
+    gen = ref_curve.G1_GEN if label == "G1" else ref_curve.G2_GEN
+    pts = [group.mul(gen, int(k)) for k in ks]
+    pts[3] = None
+    px, py, pinf = curve.encode_affine(pts)
+    want = None
+    for p, k in zip(pts, scalars):
+        if p is None or k == 0:
+            continue
+        want = group.add(want, group.mul(p, k))
 
-for lanes in (4096, 1024):  # L == 1 and L == 4
-    t0 = time.monotonic()
-    got = M.msm(px, py, pinf, slimbs, curve=G1_CURVE, lanes=lanes)
-    [dec] = G1_CURVE.decode_jacobian(JacPoint(got.x[None], got.y[None], got.z[None]))
-    status = "OK" if dec == want else "MISMATCH"
-    print(f"lanes={lanes}: {status}  ({time.monotonic()-t0:.1f}s)", flush=True)
-    if dec != want:
-        sys.exit(1)
-print("all ok")
+    for v in (4096, 1024):  # L == 1 and L == 4
+        t0 = time.monotonic()
+        got = M.msm(px, py, pinf, slimbs, curve=curve, scan_v=v)
+        [dec] = curve.decode_jacobian(JacPoint(got.x[None], got.y[None], got.z[None]))
+        status = "OK" if dec == want else "MISMATCH"
+        print(f"{label} V={v}: {status}  ({time.monotonic()-t0:.1f}s)", flush=True)
+        failures += dec != want
+
+sys.exit(1 if failures else 0)

@@ -69,3 +69,13 @@ def test_four_step_ntt_matches_single():
     gotI = four_step_ntt(x, domain_pow=domain_pow, mesh=mesh, inverse=True)
     wantI = plan.intt(x)
     assert np.array_equal(np.asarray(gotI), np.asarray(wantI))
+
+
+def test_distributed_single_process_fallback():
+    from keyless_zk_tpu.parallel import distributed
+
+    assert distributed.initialize() is False  # no coordinator configured
+    mesh = distributed.global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    s, e = distributed.local_batch_slice(10)
+    assert (s, e) == (0, 10)  # one process owns the whole batch
