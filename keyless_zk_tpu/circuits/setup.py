@@ -83,8 +83,12 @@ def _fixed_base_points(
 
     from ..curves.jacobian import G1_CURVE, G2_CURVE
     from ..fields.limbs import LIMB_BITS
+    from ..ops.msm import _accelerated
 
-    curve = G1_CURVE if group == "g1" else G2_CURVE
+    # on TPU the batched dbl/madd chain routes through the fused Pallas
+    # group-law kernels (ops/pallas_curve.py) — the table build is ~500
+    # batched group ops over millions of points at full scale
+    curve = _accelerated(G1_CURVE if group == "g1" else G2_CURVE)
     bx0, by0, _ = curve.encode_affine([gen])
 
     @functools.partial(jax.jit, static_argnames="curve")

@@ -47,7 +47,7 @@ from ..fields.limbs import LIMB_BITS, NUM_LIMBS
 
 SCALAR_BITS = 254
 
-_PALLAS_G1 = None
+_PALLAS_CURVES = {}
 
 
 def _fused_tag(curve):
@@ -64,21 +64,18 @@ def _fused_tag(curve):
 
 
 def _accelerated(curve):
-    """On real TPUs, route G1 batched group ops through fused Pallas kernels."""
-    global _PALLAS_G1
-    from ..curves.jacobian import G1_CURVE
+    """On real TPUs, route batched group ops through fused Pallas kernels
+    (G1 and G2); used by setup table building and probe tooling."""
+    tag = _fused_tag(curve)
+    if tag is None:
+        return curve
+    if tag not in _PALLAS_CURVES:
+        from .pallas_curve import PallasG1Curve, PallasG2Curve
 
-    if (
-        curve is G1_CURVE
-        and jax.default_backend() == "tpu"
-        and os.environ.get("KEYLESS_NO_PALLAS") != "1"
-    ):
-        if _PALLAS_G1 is None:
-            from .pallas_curve import PallasG1Curve
-
-            _PALLAS_G1 = PallasG1Curve(G1_CURVE)
-        return _PALLAS_G1
-    return curve
+        _PALLAS_CURVES[tag] = (
+            PallasG1Curve(curve) if tag == "fq" else PallasG2Curve(curve)
+        )
+    return _PALLAS_CURVES[tag]
 
 
 def extract_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:

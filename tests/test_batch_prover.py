@@ -7,9 +7,10 @@ import pytest
 
 TOY = "/root/reference/prover-service/resources/toy_circuit/"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(TOY), reason="reference toy artifacts unavailable"
-)
+pytestmark = [
+    pytest.mark.slow,  # toy Groth16 proves: minutes-scale on the CPU box
+    pytest.mark.skipif(not os.path.isdir(TOY), reason="reference toy artifacts unavailable"),
+]
 
 
 def test_batch_prove_and_verify():

@@ -13,6 +13,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # builds/satisfies mid-size circuits
+
 TOY = "/root/reference/prover-service/resources/toy_circuit/"
 
 needs_toy = pytest.mark.skipif(

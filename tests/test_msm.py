@@ -30,6 +30,7 @@ def test_extract_digits_roundtrip():
             assert rec == v
 
 
+@pytest.mark.slow
 def test_msm_small_path():
     rng = np.random.default_rng(4)
     n = 7
@@ -42,6 +43,7 @@ def test_msm_small_path():
     assert got == ref_curve.G1.msm(scalars, pts)
 
 
+@pytest.mark.slow
 def test_msm_pippenger_path():
     rng = np.random.default_rng(5)
     n = 300
@@ -58,6 +60,7 @@ def test_msm_pippenger_path():
     assert got == ref_curve.G1.msm(scalars, pts)
 
 
+@pytest.mark.slow
 def test_msm_g2_small():
     rng = np.random.default_rng(6)
     n = 4

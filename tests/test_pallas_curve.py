@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode Mosaic kernels: XLA:CPU compile is minutes-scale
+
 
 def _rand_points(n, rng):
     from keyless_zk_tpu.curves import ref_curve

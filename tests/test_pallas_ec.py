@@ -7,6 +7,8 @@ dense (8, 128) tiles and compares bit-exactly with the python model.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # large jitted limb graphs: minutes-scale XLA:CPU compile
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

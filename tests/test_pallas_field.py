@@ -7,6 +7,8 @@ the TPU path is exercised by scripts/bench and the prover drives.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # mont_mul kernel compile
+
 
 def test_mont_mul_pallas_matches_xla():
     from keyless_zk_tpu.fields import jax_field as jf

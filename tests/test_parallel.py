@@ -1,6 +1,7 @@
 """Sharded kernels over the virtual 8-device CPU mesh."""
 
 import numpy as np
+import pytest
 import jax
 
 from keyless_zk_tpu.curves import ref_curve
@@ -13,6 +14,7 @@ from keyless_zk_tpu.ops.ntt import get_plan
 from keyless_zk_tpu.parallel import make_mesh, sharded_msm, sharded_ntt_batch
 
 
+@pytest.mark.slow
 def test_sharded_msm_matches_host():
     n_dev = len(jax.devices())
     assert n_dev == 8
@@ -27,6 +29,7 @@ def test_sharded_msm_matches_host():
     assert got == ref_curve.G1.msm(scalars, pts)
 
 
+@pytest.mark.slow
 def test_sharded_ntt_batch_matches_single():
     n_dev = len(jax.devices())
     mesh = make_mesh(n_dev)
@@ -41,6 +44,7 @@ def test_sharded_ntt_batch_matches_single():
     assert np.array_equal(np.asarray(out), np.asarray(want))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import sys
 
@@ -50,6 +54,7 @@ def test_dryrun_multichip():
     dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_four_step_ntt_matches_single():
     """Intra-transform sharding (four-step, one all-to-all) vs one-device NTT."""
     from keyless_zk_tpu.parallel.sharded import four_step_ntt

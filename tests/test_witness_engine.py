@@ -8,6 +8,8 @@ full keyless relation is cross-checked wire-for-wire.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compiles the native engine + mid-size circuits
+
 from keyless_zk_tpu.circuits import ConstraintSystem
 from keyless_zk_tpu.circuits.witness_engine import CompiledWitnessProgram
 
