@@ -122,12 +122,14 @@ class Groth16Prover:
         a, b = ab[: pk.domain_size], ab[pk.domain_size :]
         c = jf.mont_mul(a, b, FR)
 
-        def coset_transform(x):
-            x = self.plan.intt(x)
-            x = jf.mont_mul(x, self.coset, FR)  # shift: groth16.cpp:182-190
-            return self.plan.ntt(x)
-
-        a, b, c = coset_transform(a), coset_transform(b), coset_transform(c)
+        # one batched (3, n, 16) iNTT -> coset shift -> NTT sweep instead of
+        # the reference's three concurrent pipelines (groth16.cpp:169-262):
+        # batching triples arithmetic intensity per kernel dispatch
+        abc = jnp.stack([a, b, c])
+        abc = self.plan.intt(abc)
+        abc = jf.mont_mul(abc, self.coset, FR)  # shift: groth16.cpp:182-190
+        abc = self.plan.ntt(abc)
+        a, b, c = abc[0], abc[1], abc[2]
         h = jf.sub(jf.mont_mul(a, b, FR), c, FR)
         return jf.from_mont(h, FR)  # groth16.cpp:264-279
 

@@ -395,81 +395,106 @@ static void fq12_pow_u(fq12 *r, const fq12 *a) {
 typedef struct { fq x, y; int inf; } g1_t;
 typedef struct { fq2 x, y; int inf; } g2_t;
 
-/* line through ψ(T), ψ(R) (or tangent) evaluated at P, times f accum. */
-static void line_and_step(fq12 *f, g2_t *T, const g2_t *R, const g1_t *P, int dbl) {
-    fq2 lambda, num, den, t;
-    if (dbl) {
-        /* tangent at T: λ = 3x² / 2y */
-        fq2_sqr(&num, &T->x);
-        fq2_add(&t, &num, &num);
-        fq2_add(&num, &t, &num);
-        fq2_add(&den, &T->y, &T->y);
-    } else {
-        /* chord T→R: λ = (yR - yT)/(xR - xT); equal x handled by caller */
-        fq2_sub(&num, &R->y, &T->y);
-        fq2_sub(&den, &R->x, &T->x);
-    }
-    fq2_inv(&den, &den);
-    fq2_mul(&lambda, &num, &den);
+#define MAX_PAIRS 16
 
-    /* line l(P) = yp - λ xp w + (λ xT - yT) w³  (P coords already mont);
-     * multiplied in sparsely */
-    {
-        fq2 a1, a3, t;
-        fq2_mul_fq(&t, &lambda, &P->x);
+/* Montgomery batch inversion: d[i] <- d[i]^-1, one fq2_inv total.
+ * All d[i] must be nonzero (holds for valid pairing inputs). */
+static void fq2_batch_inv(fq2 *d, int n) {
+    fq2 pref[MAX_PAIRS], acc, tmp;
+    pref[0] = d[0];
+    for (int i = 1; i < n; i++) fq2_mul(&pref[i], &pref[i - 1], &d[i]);
+    fq2_inv(&acc, &pref[n - 1]);
+    for (int i = n - 1; i > 0; i--) {
+        fq2_mul(&tmp, &acc, &pref[i - 1]); /* d_i^-1 */
+        fq2_mul(&acc, &acc, &d[i]);
+        d[i] = tmp;
+    }
+    d[0] = acc;
+}
+
+/* One shared Miller step for all pairs (multi-pairing: the pairs share the
+ * loop schedule, so the product Π f_i advances with ONE f squaring per bit
+ * and one sparse line multiplication per pair, with the n slope
+ * denominators inverted in one batch). dbl: tangent at T[i]; else chord
+ * T[i] -> R[i]. */
+static void step_multi(fq12 *f, g2_t *T, const g2_t *R, const g1_t *P, int n, int dbl) {
+    fq2 num[MAX_PAIRS], den[MAX_PAIRS];
+    for (int i = 0; i < n; i++) {
+        if (dbl) {
+            fq2 t;
+            fq2_sqr(&num[i], &T[i].x);
+            fq2_add(&t, &num[i], &num[i]);
+            fq2_add(&num[i], &t, &num[i]);
+            fq2_add(&den[i], &T[i].y, &T[i].y);
+        } else {
+            fq2_sub(&num[i], &R[i].y, &T[i].y);
+            fq2_sub(&den[i], &R[i].x, &T[i].x);
+        }
+    }
+    fq2_batch_inv(den, n);
+    for (int i = 0; i < n; i++) {
+        fq2 lambda, a1, a3, t;
+        fq2_mul(&lambda, &num[i], &den[i]);
+        /* line l(P) = yp - λ xp w + (λ xT - yT) w³ (P coords mont) */
+        fq2_mul_fq(&t, &lambda, &P[i].x);
         fq2_neg(&a1, &t);
-        fq2_mul(&t, &lambda, &T->x);
-        fq2_sub(&a3, &t, &T->y);
-        fq12_mul_line(f, &P->y, &a1, &a3);
-    }
-
-    /* point update: x3 = λ² - xT - xR ; y3 = λ(xT - x3) - yT */
-    {
-        fq2 l2, x3, y3, d;
-        fq2_sqr(&l2, &lambda);
-        fq2_sub(&x3, &l2, &T->x);
-        fq2_sub(&x3, &x3, dbl ? &T->x : &R->x);
-        fq2_sub(&d, &T->x, &x3);
-        fq2_mul(&y3, &lambda, &d);
-        fq2_sub(&y3, &y3, &T->y);
-        T->x = x3;
-        T->y = y3;
+        fq2_mul(&t, &lambda, &T[i].x);
+        fq2_sub(&a3, &t, &T[i].y);
+        fq12_mul_line(f, &P[i].y, &a1, &a3);
+        /* point: x3 = λ² - xT - xR ; y3 = λ(xT - x3) - yT */
+        {
+            fq2 l2, x3, y3, d;
+            fq2_sqr(&l2, &lambda);
+            fq2_sub(&x3, &l2, &T[i].x);
+            fq2_sub(&x3, &x3, dbl ? &T[i].x : &R[i].x);
+            fq2_sub(&d, &T[i].x, &x3);
+            fq2_mul(&y3, &lambda, &d);
+            fq2_sub(&y3, &y3, &T[i].y);
+            T[i].x = x3;
+            T[i].y = y3;
+        }
     }
 }
 
-/* one optimal-ate Miller loop + point for final exp accumulation */
-static void miller(fq12 *f, const g1_t *P, const g2_t *Qin) {
-    g2_t T = *Qin, Q = *Qin;
-    fq12_one(f);
-    /* s = 6u+2; iterate bits below the MSB */
+/* shared-f optimal-ate Miller loop over n <= MAX_PAIRS pairs;
+ * multiplies the result into *f (callers pass f = 1 or accumulate). */
+static void miller_multi(fq12 *f, const g1_t *P, const g2_t *Qin, int n) {
+    g2_t T[MAX_PAIRS], Q1[MAX_PAIRS], Q2[MAX_PAIRS];
+    for (int i = 0; i < n; i++) T[i] = Qin[i];
     unsigned __int128 s = ((unsigned __int128)BN_S_HI << 64) | BN_S_LO;
     for (int i = BN_S_BITS - 2; i >= 0; i--) {
         fq12_mul(f, f, f);
-        line_and_step(f, &T, &T, P, 1);
-        if ((s >> i) & 1) line_and_step(f, &T, &Q, P, 0);
+        step_multi(f, T, T, P, n, 1);
+        if ((s >> i) & 1) step_multi(f, T, Qin, P, n, 0);
     }
-    /* Frobenius corrections: Q1 = π(Q), Q2 = π²(Q); f *= l(T,Q1); T+=Q1;
-     * f *= l(T,-Q2) */
-    g2_t Q1, Q2;
+    /* Frobenius corrections: Q1 = π(Q), Q2 = π²(Q);
+     * f *= l(T,Q1); T += Q1; f *= l(T,-Q2) */
     {
-        fq2 cx, cy;
-        load_fq2(&cx, FROB1[1]); /* γ1,2 = ξ^{(p-1)/3} */
-        load_fq2(&cy, FROB1[2]); /* γ1,3 = ξ^{(p-1)/2} */
-        fq2 qx, qy;
-        fq2_conj(&qx, &Q.x);
-        fq2_conj(&qy, &Q.y);
-        fq2_mul(&Q1.x, &qx, &cx);
-        fq2_mul(&Q1.y, &qy, &cy);
-        Q1.inf = 0;
-        load_fq2(&cx, FROB2[1]);
-        load_fq2(&cy, FROB2[2]);
-        fq2_mul(&Q2.x, &Q.x, &cx);
-        fq2_mul(&Q2.y, &Q.y, &cy);
-        fq2_neg(&Q2.y, &Q2.y); /* -Q2 */
-        Q2.inf = 0;
+        fq2 c1x, c1y, c2x, c2y;
+        load_fq2(&c1x, FROB1[1]); /* γ1,2 = ξ^{(p-1)/3} */
+        load_fq2(&c1y, FROB1[2]); /* γ1,3 = ξ^{(p-1)/2} */
+        load_fq2(&c2x, FROB2[1]);
+        load_fq2(&c2y, FROB2[2]);
+        for (int i = 0; i < n; i++) {
+            fq2 qx, qy;
+            fq2_conj(&qx, &Qin[i].x);
+            fq2_conj(&qy, &Qin[i].y);
+            fq2_mul(&Q1[i].x, &qx, &c1x);
+            fq2_mul(&Q1[i].y, &qy, &c1y);
+            Q1[i].inf = 0;
+            fq2_mul(&Q2[i].x, &Qin[i].x, &c2x);
+            fq2_mul(&Q2[i].y, &Qin[i].y, &c2y);
+            fq2_neg(&Q2[i].y, &Q2[i].y); /* -Q2 */
+            Q2[i].inf = 0;
+        }
     }
-    line_and_step(f, &T, &Q1, P, 0);
-    line_and_step(f, &T, &Q2, P, 0);
+    step_multi(f, T, Q1, P, n, 0);
+    step_multi(f, T, Q2, P, n, 0);
+}
+
+static void miller(fq12 *f, const g1_t *P, const g2_t *Qin) {
+    fq12_one(f);
+    miller_multi(f, P, Qin, 1);
 }
 
 static void final_exp(fq12 *r, const fq12 *f_in) {
@@ -530,7 +555,10 @@ static void load_fq_std(fq *r, const uint64_t *limbs) {
 /* g1s: n * 8 u64 (x, y); g2s: n * 16 u64 (x.c0, x.c1, y.c0, y.c1);
  * an all-zero point means "skip this pair" (point at infinity). */
 int bn254_pairing_check(const uint64_t *g1s, const uint64_t *g2s, int n) {
-    fq12 acc, f;
+    fq12 acc;
+    g1_t P[MAX_PAIRS];
+    g2_t Q[MAX_PAIRS];
+    int m = 0;
     fq12_one(&acc);
     for (int k = 0; k < n; k++) {
         const uint64_t *p1 = g1s + 8 * k;
@@ -539,19 +567,20 @@ int bn254_pairing_check(const uint64_t *g1s, const uint64_t *g2s, int n) {
         for (int i = 0; i < 8; i++) z1 &= (p1[i] == 0);
         for (int i = 0; i < 16; i++) z2 &= (p2[i] == 0);
         if (z1 || z2) continue;
-        g1_t P;
-        g2_t Q;
-        load_fq_std(&P.x, p1);
-        load_fq_std(&P.y, p1 + 4);
-        P.inf = 0;
-        load_fq_std(&Q.x.c0, p2);
-        load_fq_std(&Q.x.c1, p2 + 4);
-        load_fq_std(&Q.y.c0, p2 + 8);
-        load_fq_std(&Q.y.c1, p2 + 12);
-        Q.inf = 0;
-        miller(&f, &P, &Q);
-        fq12_mul(&acc, &acc, &f);
+        load_fq_std(&P[m].x, p1);
+        load_fq_std(&P[m].y, p1 + 4);
+        P[m].inf = 0;
+        load_fq_std(&Q[m].x.c0, p2);
+        load_fq_std(&Q[m].x.c1, p2 + 4);
+        load_fq_std(&Q[m].y.c0, p2 + 8);
+        load_fq_std(&Q[m].y.c1, p2 + 12);
+        Q[m].inf = 0;
+        if (++m == MAX_PAIRS || k == n - 1) {
+            miller_multi(&acc, P, Q, m); /* multiplies into acc */
+            m = 0;
+        }
     }
+    if (m) miller_multi(&acc, P, Q, m);
     final_exp(&acc, &acc);
     return fq12_is_one(&acc);
 }
