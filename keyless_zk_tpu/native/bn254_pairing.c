@@ -377,15 +377,54 @@ static void fq12_inv(fq12 *r, const fq12 *a) {
     fq12_mul(r, &num, &dinv);
 }
 
+/* (a + b t)² in Fq4 = Fq2[t]/(t² - ξ): returns (a² + ξ b², 2ab) */
+static void fp4_sqr(fq2 *r0, fq2 *r1, const fq2 *a, const fq2 *b) {
+    fq2 t0, t1, s;
+    fq2_sqr(&t0, a);
+    fq2_sqr(&t1, b);
+    fq2_add(&s, a, b);
+    fq2_mul_xi(r0, &t1);
+    fq2_add(r0, r0, &t0);
+    fq2_sqr(&s, &s);
+    fq2_sub(&s, &s, &t0);
+    fq2_sub(r1, &s, &t1);
+}
+
+/* Granger-Scott squaring, valid for elements of the cyclotomic subgroup
+ * (everything after the easy final-exp part). ~9 fq2 muls vs 36. */
+static void fq12_cyc_sqr(fq12 *r, const fq12 *f) {
+    /* Fq12 = Fq4[v]: z-naming per the standard algorithm with
+     * (z0,z4,z3,z2,z1,z5) = (g0,g2,g4,g1,g3,g5) */
+    fq2 z0 = f->g[0], z4 = f->g[2], z3 = f->g[4];
+    fq2 z2 = f->g[1], z1 = f->g[3], z5 = f->g[5];
+    fq2 t0, t1, t2, t3, u;
+
+    fp4_sqr(&t0, &t1, &z0, &z1);
+    fq2_sub(&z0, &t0, &z0); fq2_add(&z0, &z0, &z0); fq2_add(&z0, &z0, &t0);
+    fq2_add(&z1, &t1, &z1); fq2_add(&z1, &z1, &z1); fq2_add(&z1, &z1, &t1);
+    fp4_sqr(&t0, &t1, &z2, &z3);
+    fp4_sqr(&t2, &t3, &z4, &z5);
+    fq2_sub(&z4, &t0, &z4); fq2_add(&z4, &z4, &z4); fq2_add(&z4, &z4, &t0);
+    fq2_add(&z5, &t1, &z5); fq2_add(&z5, &z5, &z5); fq2_add(&z5, &z5, &t1);
+    fq2_mul_xi(&u, &t3);
+    fq2_add(&z2, &u, &z2); fq2_add(&z2, &z2, &z2); fq2_add(&z2, &z2, &u);
+    fq2_sub(&z3, &t2, &z3); fq2_add(&z3, &z3, &z3); fq2_add(&z3, &z3, &t2);
+
+    r->g[0] = z0; r->g[2] = z4; r->g[4] = z3;
+    r->g[1] = z2; r->g[3] = z1; r->g[5] = z5;
+}
+
 static void fq12_pow_u(fq12 *r, const fq12 *a) {
-    /* exponent u = BN_U (63 bits, positive for this curve) */
+    /* exponent u = BN_U (63 bits, positive for this curve); only called on
+     * cyclotomic-subgroup elements (final exp), so squarings use the
+     * Granger-Scott compressed form */
     uint64_t u = BN_U;
     fq12 acc, base = *a;
     fq12_one(&acc);
     while (u) {
         if (u & 1) fq12_mul(&acc, &acc, &base);
         u >>= 1;
-        if (u) fq12_sqr(&base, &base);
+        if (u) fq12_cyc_sqr(&base, &base);
     }
     *r = acc;
 }
@@ -529,18 +568,18 @@ static void final_exp(fq12 *r, const fq12 *f_in) {
     fq12_mul(&y6, &fu3, &fu3p);
     fq12_conj(&y6, &y6);
 
-    fq12_sqr(&T0, &y6);
+    fq12_cyc_sqr(&T0, &y6);
     fq12_mul(&T0, &T0, &y4);
     fq12_mul(&T0, &T0, &y5);
     fq12_mul(&T1, &y3, &y5);
     fq12_mul(&T1, &T1, &T0);
     fq12_mul(&T0, &T0, &y2);
-    fq12_sqr(&T1, &T1);
+    fq12_cyc_sqr(&T1, &T1);
     fq12_mul(&T1, &T1, &T0);
-    fq12_sqr(&T1, &T1);
+    fq12_cyc_sqr(&T1, &T1);
     fq12_mul(&T0, &T1, &y1);
     fq12_mul(&T1, &T1, &y0);
-    fq12_sqr(&T0, &T0);
+    fq12_cyc_sqr(&T0, &T0);
     fq12_mul(r, &T0, &T1);
 }
 
