@@ -84,3 +84,21 @@ def test_y_largest_flag():
     assert c[-1] & 0xC0 == want_flag
     x = int.from_bytes(c[:31] + bytes([c[31] & 0x3F]), "little")
     assert x == a[0]
+
+
+def test_success_response_wire_shape():
+    """Reference response shape (types.rs:43-57): compressed point arrays,
+    hex LE public_inputs_hash, hex bcs(EphemeralSignature)."""
+    from keyless_zk_tpu.service.bcs import ephemeral_signature_bcs
+    from keyless_zk_tpu.service.types import success_response
+
+    resp = success_response(_proof_json(), 12345, ephemeral_signature_bcs(bytes(64)).hex())
+    assert sorted(resp) == ["proof", "public_inputs_hash", "training_wheels_signature"]
+    assert len(resp["proof"]["a"]) == 32 and len(resp["proof"]["b"]) == 64
+    assert len(resp["proof"]["c"]) == 32
+    assert all(isinstance(v, int) for v in resp["proof"]["a"])
+    assert bytes.fromhex(resp["public_inputs_hash"]) == (12345).to_bytes(32, "little")
+    blob = bytes.fromhex(resp["training_wheels_signature"])
+    assert blob[:2] == b"\x00\x40" and len(blob) == 66
+    # pi_b bytes in the response equal the documented gamma_g2 compression
+    assert bytes(resp["proof"]["b"]).hex() == GAMMA_G2_HEX

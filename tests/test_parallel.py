@@ -84,3 +84,38 @@ def test_distributed_single_process_fallback():
     assert mesh.devices.size == len(jax.devices())
     s, e = distributed.local_batch_slice(10)
     assert (s, e) == (0, 10)  # one process owns the whole batch
+
+
+@pytest.mark.slow
+def test_sharded_prover_matches_single_chip():
+    """Full prove step sharded over the mesh (5 sharded MSMs + four-step
+    NTTs) must produce the exact proof of the single-device prover for the
+    same blinding, and verify."""
+    from keyless_zk_tpu.circuits import ConstraintSystem, groth16_setup
+    from keyless_zk_tpu.circuits.r1cs_file import r1cs_from_cs
+    from keyless_zk_tpu.groth16 import Groth16Prover, verify_groth16
+    from keyless_zk_tpu.parallel.sharded_prover import ShardedGroth16Prover
+
+    cs = ConstraintSystem()
+    a = cs.public_wire()
+    cs.set_input_hint([a], "a")
+    b = cs.new_wire()
+    cs.set_input_hint([b], "b")
+    x = b
+    for _ in range(100):  # a == b^101: 101 constraints -> domain 128
+        x = cs.mul(cs.lc(x), cs.lc(b))
+    cs.constrain_eq(cs.lc(x), cs.lc(a))
+
+    w = cs.compute_witness(a=pow(3, 101, bn254.R_SCALAR), b=3)
+    assert cs.check_witness(w) is None
+
+    res = groth16_setup(
+        r1cs_from_cs(cs), toxic={"tau": 999, "alpha": 3, "beta": 4, "gamma": 5, "delta": 6}
+    )
+    mesh = make_mesh(len(jax.devices()))
+    sharded = ShardedGroth16Prover(res.pk, mesh)
+    proof = sharded.prove(cs.witness_np(w), r=7, s=8)
+    assert verify_groth16(res.vk, [w[a]], proof.to_json_dict())
+
+    single = Groth16Prover(res.pk).prove(cs.witness_np(w), r=7, s=8)
+    assert proof.to_json_dict() == single.to_json_dict()
