@@ -54,10 +54,45 @@ def emit(metric, value, unit, baseline, last=False):
     return rec
 
 
+def _probe_backend(timeout_s: float = 600.0):
+    """jax.devices() in a watchdog thread: the axon TPU tunnel sometimes
+    hangs indefinitely; better to report that than to wedge the bench."""
+    import threading
+
+    out = {}
+
+    def probe():
+        import jax
+
+        out["devices"] = [str(d) for d in jax.devices()]
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return out.get("devices")
+
+
 def main() -> int:
     from keyless_zk_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+
+    devices = _probe_backend()
+    if devices is None:
+        print(
+            json.dumps(
+                {
+                    "metric": "msm_g1_2^16",
+                    "error": "device backend unavailable (axon tunnel timeout)",
+                    "value": None,
+                    "unit": "ms",
+                    "vs_baseline": None,
+                }
+            ),
+            flush=True,
+        )
+        return 0
+    print(json.dumps({"devices": devices}), flush=True)
 
     import jax
     import jax.numpy as jnp

@@ -42,6 +42,33 @@ def _tree_add_points(curve: JacobianCurve, pts: JacPoint) -> JacPoint:
     return tree_reduce_points(curve, pts, pts.x.shape[0])
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _sharded_msm_fn(curve: JacobianCurve, mesh: Mesh, axis: str, coord_ndim: int, kw: tuple):
+    """Build-once jitted shard_map MSM (rebuilding the closure per call
+    would force a re-trace/re-compile on every invocation)."""
+    msm_kwargs = dict(kw)
+    coord = P(axis, *([None] * (coord_ndim - 1)))
+
+    def local(px, py, pinf, s):
+        part = msm(px, py, pinf, s, curve=curve, **msm_kwargs)
+        # gather the per-chip partial sums and reduce on every chip
+        gathered = jax.tree.map(lambda a: jax.lax.all_gather(a, axis), part)
+        return _tree_add_points(curve, JacPoint(*gathered))
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(coord, coord, P(axis), P(axis, None)),
+            out_specs=JacPoint(P(), P(), P()),
+            check_vma=False,
+        )
+    )
+
+
 def sharded_msm(
     points_x: jnp.ndarray,
     points_y: jnp.ndarray,
@@ -57,23 +84,8 @@ def sharded_msm(
 
     n must be divisible by the mesh size (pad with zero scalars upstream).
     """
-
-    coord = P(axis, *([None] * (points_x.ndim - 1)))
-
-    def local(px, py, pinf, s):
-        part = msm(px, py, pinf, s, curve=curve, **msm_kwargs)
-        # gather the per-chip partial sums and reduce on every chip
-        gathered = jax.tree.map(
-            lambda a: jax.lax.all_gather(a, axis), part
-        )
-        return _tree_add_points(curve, JacPoint(*gathered))
-
-    f = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(coord, coord, P(axis), P(axis, None)),
-        out_specs=JacPoint(P(), P(), P()),
-        check_vma=False,
+    f = _sharded_msm_fn(
+        curve, mesh, axis, points_x.ndim, tuple(sorted(msm_kwargs.items()))
     )
     return f(points_x, points_y, points_inf, scalars)
 
@@ -125,6 +137,14 @@ def four_step_ntt(
 
     x: (n, 16) Fr Montgomery. Returns (n, 16). Requires D | n1 and D | n2.
     """
+    f, n1, n2 = _four_step_fn(domain_pow, n1_pow, mesh, axis, inverse)
+    out2d = f(x.reshape(n2, n1, 16))  # out2d[k1, k2]
+    return out2d.reshape(1 << domain_pow, 16)
+
+
+@lru_cache(maxsize=32)
+def _four_step_fn(domain_pow: int, n1_pow: int | None, mesh: Mesh, axis: str, inverse: bool):
+    """Build-once jitted four-step transform for one (domain, mesh) shape."""
     from ..fields import bn254
     from ..fields import jax_field as jf
     from ..fields.jax_field import FR
@@ -155,31 +175,36 @@ def four_step_ntt(
         z = plan1.intt(z) if inverse else plan1.ntt(z)  # j1 -> k1
         return jnp.moveaxis(z, 0, 1)  # (n1, n2/D, 16) = out2d local block
 
-    f = shard_map(
+    sm = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(None, axis, None), P(axis, None, None)),
         out_specs=P(None, axis, None),
         check_vma=False,
     )
-    out2d = f(x.reshape(n2, n1, 16), W)  # out2d[k1, k2]
-    return out2d.reshape(1 << domain_pow, 16)
+    return jax.jit(lambda y: sm(y, W)), n1, n2
+
+
+@lru_cache(maxsize=32)
+def _ntt_batch_fn(domain_pow: int, mesh: Mesh, axis: str, inverse: bool):
+    plan = get_plan(domain_pow)
+
+    def local(x):
+        return plan.intt(x) if inverse else plan.ntt(x)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis, None, None),),
+            out_specs=P(axis, None, None),
+            check_vma=False,
+        )
+    )
 
 
 def sharded_ntt_batch(
     polys: jnp.ndarray, *, domain_pow: int, mesh: Mesh, axis: str = "data", inverse=False
 ) -> jnp.ndarray:
     """Batch-of-polynomials NTT, one batch slice per chip: (B, n, 16)."""
-    plan = get_plan(domain_pow)
-
-    def local(x):
-        return plan.intt(x) if inverse else plan.ntt(x)
-
-    f = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(axis, None, None),),
-        out_specs=P(axis, None, None),
-        check_vma=False,
-    )
-    return f(polys)
+    return _ntt_batch_fn(domain_pow, mesh, axis, inverse)(polys)
