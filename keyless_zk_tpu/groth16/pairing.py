@@ -10,6 +10,11 @@ Tower: Fq2 = Fq[i]/(i^2+1); Fq12 = Fq[w]/(w^12 - 18 w^6 + 82), with G2
 points on the twist mapped into Fq12 by the standard untwist
 (x -> x' * w^2, y -> y' * w^3).  Same curve constants as the reference
 (rust-rapidsnark/rapidsnark/src/alt_bn128.hpp, fq.hpp).
+
+The algorithm shape (twist / line functions / Miller loop / final
+exponentiation) follows the well-known public py_ecc bn128 construction —
+a standard published algorithm, independently implemented here; no code
+is taken from the reference repo.
 """
 
 from __future__ import annotations

@@ -198,22 +198,55 @@ def save_zkey(path: str, pk: ProvingKey) -> None:
         _write_section(f, 9, _g1_bytes(pk.points_h))
 
 
-def load_zkey(path: str, cache: bool | None = None) -> ProvingKey:
-    """Parse a snarkjs zkey; limb-format table cache beside the file.
+def zkey_table_cache_path(path: str) -> str:
+    """Where load_zkey caches the limb-format tables for a given zkey.
+
+    Beside the zkey when it lives in a directory we own (the setup store,
+    or a dir opted in via KEYLESS_ZKEY_CACHE_BESIDE) — setup-store entries
+    stay self-contained with a `<name>.zkey.tables.npz`. Every other input
+    path (vendored fixtures, mounted setup images, read-only media) caches
+    under ``~/.cache/keyless_zk_tpu/zkey_tables/`` keyed by absolute path,
+    so foreign input directories are never written to.
+    """
+    import hashlib
+    import os
+
+    apath = os.path.abspath(path)
+    own_roots = [
+        os.path.join(os.path.expanduser("~"), ".local", "share", "keyless_zk_tpu"),
+    ]
+    extra = os.environ.get("KEYLESS_ZKEY_CACHE_BESIDE")
+    if extra:
+        own_roots += [os.path.abspath(p) for p in extra.split(":") if p]
+    if any(apath.startswith(r.rstrip("/") + "/") for r in own_roots):
+        return path + ".tables.npz"
+    key = hashlib.sha256(apath.encode()).hexdigest()[:24]
+    root = os.path.join(
+        os.path.expanduser("~"), ".cache", "keyless_zk_tpu", "zkey_tables"
+    )
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, key + ".tables.npz")
+
+
+def load_zkey(
+    path: str, cache: bool | None = None, cache_path: str | None = None
+) -> ProvingKey:
+    """Parse a snarkjs zkey; limb-format table cache (device-ready).
 
     The reference mmaps the zkey and converts per startup
     (fullprover.cpp:164-174); at production scale (~multi-GB, 5 point
     tables) the byte->limb conversion dominates service start, so the
-    converted arrays are cached as `<path>.tables.npz`, keyed by the zkey's
-    (size, mtime), and reloaded zero-copy (the analog of the setup cache in
-    scripts/python/setups/cache.py, but in device-ready format).
+    converted arrays are cached (at ``cache_path`` if given, else see
+    :func:`zkey_table_cache_path`), keyed by the zkey's (size, mtime), and
+    reloaded zero-copy (the analog of the setup cache in
+    scripts/python/setups/cache.py, but in device format).
     Set cache=False or KEYLESS_ZKEY_CACHE=0 to disable.
     """
     import os
 
     if cache is None:
         cache = os.environ.get("KEYLESS_ZKEY_CACHE", "1") != "0"
-    npz_path = path + ".tables.npz"
+    npz_path = cache_path or zkey_table_cache_path(path)
     st = os.stat(path)
     cache_key = f"{st.st_size}:{int(st.st_mtime)}"
     if cache and os.path.exists(npz_path):

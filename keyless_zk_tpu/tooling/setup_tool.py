@@ -149,7 +149,8 @@ def import_zkey(
         os.makedirs(target, exist_ok=True)
         dest = os.path.join(target, "prover_key.zkey")
         shutil.copyfile(zkey_path, dest)
-        pk = load_zkey(dest)  # parses + writes the .tables.npz cache
+        # parse + write the device-format table cache beside the store copy
+        pk = load_zkey(dest, cache_path=dest + ".tables.npz")
         if vk_path:
             shutil.copyfile(vk_path, os.path.join(target, "verification_key.json"))
         else:

@@ -4,6 +4,11 @@ Used for training-wheels signing/verification (the reference signs every
 proof with an Ed25519 key: prover-service/src/request_handler/
 training_wheels.rs:155-222) and for deriving test ephemeral public keys.
 Not on the proving hot path.
+
+NOT constant-time: Python big-int arithmetic leaks timing. Fine for the
+training-wheels role here (the TW key signs public statements; the
+deployments that care use an HSM/KMS signer), but do not reuse this module
+for secret-dependent protocols.
 """
 
 from __future__ import annotations

@@ -183,3 +183,28 @@ def test_zkey_table_cache_roundtrip(tmp_path):
     assert np.array_equal(cached.points_b2.y, fresh.points_b2.y)
     assert np.array_equal(cached.coef_val, fresh.coef_val)
     assert cached.n_coefs == fresh.n_coefs
+
+
+def test_zkey_cache_never_writes_foreign_dirs(tmp_path, monkeypatch):
+    """Zkeys loaded from directories we don't own (vendored fixtures,
+    read-only setup images) must not get a cache file written beside them —
+    the cache goes to ~/.cache/keyless_zk_tpu/zkey_tables instead."""
+    import os
+
+    from keyless_zk_tpu.groth16.zkey import load_zkey, zkey_table_cache_path
+
+    TOY = "/root/reference/prover-service/resources/toy_circuit/toy_1.zkey"
+    before = set(os.listdir(os.path.dirname(TOY)))
+    cache_file = zkey_table_cache_path(TOY)
+    assert not cache_file.startswith(os.path.dirname(TOY))
+    if os.path.exists(cache_file):
+        os.unlink(cache_file)
+    load_zkey(TOY, cache=True)
+    assert set(os.listdir(os.path.dirname(TOY))) == before
+    assert os.path.exists(cache_file)
+
+    # the setup store itself stays self-contained (beside-file cache)
+    store = os.path.join(
+        os.path.expanduser("~"), ".local", "share", "keyless_zk_tpu", "s", "k.zkey"
+    )
+    assert zkey_table_cache_path(store) == store + ".tables.npz"
