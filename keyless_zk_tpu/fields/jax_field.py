@@ -38,7 +38,10 @@ import jax.numpy as jnp
 from . import bn254
 from .limbs import LIMB_BITS, LIMB_MASK, NUM_LIMBS, int_to_limbs
 
-MASK = jnp.uint32(LIMB_MASK)
+# numpy scalar, NOT jnp: a jnp scalar here would initialise the XLA backend
+# at import time, which breaks jax.distributed.initialize() (it must run
+# before any backend init) for anyone importing this module first.
+MASK = np.uint32(LIMB_MASK)
 
 
 @dataclass(frozen=True, eq=False)

@@ -48,7 +48,15 @@ def initialize(
     num_processes = num_processes or _env_int("JAX_NUM_PROCESSES")
     process_id = process_id if process_id is not None else _env_int("JAX_PROCESS_ID")
 
-    on_tpu_pod = jax.default_backend() == "tpu" and _env_int("TPU_WORKER_HOSTNAMES_COUNT")
+    # Detect a TPU pod slice from the environment ONLY — touching the
+    # backend here (e.g. jax.default_backend()) would initialise XLA and
+    # make jax.distributed.initialize() below unusable ("must be called
+    # before any JAX calls").
+    on_tpu_pod = bool(
+        _env_int("TPU_WORKER_HOSTNAMES_COUNT")
+        or (os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0)
+        or _env_int("MEGASCALE_NUM_SLICES")
+    )
     if coordinator_address is None and not on_tpu_pod:
         return False  # single-process mode
     jax.distributed.initialize(

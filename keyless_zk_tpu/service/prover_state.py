@@ -85,30 +85,58 @@ class ProverServiceState:
 
         With persist=True the setup goes through the content-addressed
         store (tooling/setup_tool.py) and is reloaded from its zkey on
-        later startups."""
+        later startups. Warm persistent starts also reload the compiled
+        witness program (the analog of circom's prebuilt main_c,
+        testing_setup.py:72-79) and skip circuit construction entirely
+        (~2 min at the full config); debug-check mode still builds the
+        circuit, since the R1CS re-check needs the constraints."""
         from ..circuits.r1cs_file import r1cs_from_cs
         from ..circuits.setup import groth16_setup
 
-        self.cs = build_keyless_circuit(self.keyless_config)
-        try:
-            from ..circuits.witness_engine import CompiledWitnessProgram
-
-            self.witness_prog = CompiledWitnessProgram(self.cs)
-        except Exception:
-            self.witness_prog = None  # no C toolchain: Python witness path
         if persist:
             import json
             import os
 
+            from ..circuits.witness_engine import CompiledWitnessProgram
             from ..groth16.zkey import load_zkey
-            from ..tooling.setup_tool import procure
+            from ..tooling.setup_tool import circuit_checksum, procure
 
-            setup_dir = procure(self.keyless_config, root=self.config.resources_dir)
+            root = self.config.resources_dir
+            setup_dir = os.path.join(root, circuit_checksum(self.keyless_config))
+            prog_path = os.path.join(setup_dir, "witness_program.npz")
+            warm = (
+                os.path.exists(os.path.join(setup_dir, ".complete"))
+                and os.path.exists(prog_path)
+                and not self.config.enable_debug_checks
+            )
+            if warm:
+                self.cs = None
+                self.witness_prog = CompiledWitnessProgram.load(prog_path)
+                procure(self.keyless_config, root=root)  # refresh default slot
+            else:
+                self.cs = build_keyless_circuit(self.keyless_config)
+                try:
+                    self.witness_prog = CompiledWitnessProgram(self.cs)
+                except Exception:
+                    self.witness_prog = None  # no C toolchain: Python path
+                setup_dir = procure(self.keyless_config, root=root, cs=self.cs)
+                if self.witness_prog is not None:
+                    try:
+                        self.witness_prog.save(prog_path)
+                    except Exception:
+                        pass  # unserializable ops: rebuild next start
             pk = load_zkey(os.path.join(setup_dir, "prover_key.zkey"))
             with open(os.path.join(setup_dir, "verification_key.json")) as f:
                 self.vk = json.load(f)
             self.prover = Groth16Prover(pk)
         else:
+            self.cs = build_keyless_circuit(self.keyless_config)
+            try:
+                from ..circuits.witness_engine import CompiledWitnessProgram
+
+                self.witness_prog = CompiledWitnessProgram(self.cs)
+            except Exception:
+                self.witness_prog = None  # no C toolchain: Python witness path
             res = groth16_setup(r1cs_from_cs(self.cs), rng=rng)
             self.prover = Groth16Prover(res.pk)
             self.vk = res.vk
@@ -120,7 +148,7 @@ class ProverServiceState:
     # ---- the prove pipeline (prover_handler.rs:48-152) --------------------
 
     def handle_prove(self, body: bytes) -> dict:
-        if self.prover is None or self.cs is None:
+        if self.prover is None or (self.cs is None and self.witness_prog is None):
             raise InternalError("prover not initialized")
 
         phases = {}

@@ -49,8 +49,16 @@ def circuit_checksum(keyless_config) -> str:
     return h.hexdigest()[:16]
 
 
-def procure(keyless_config=None, root: str = DEFAULT_SETUP_ROOT, force: bool = False) -> str:
-    """Build circuit + run setup + install; returns the setup directory."""
+def procure(
+    keyless_config=None,
+    root: str = DEFAULT_SETUP_ROOT,
+    force: bool = False,
+    cs=None,
+) -> str:
+    """Build circuit + run setup + install; returns the setup directory.
+
+    Pass a prebuilt ConstraintSystem as `cs` to skip the ~2 min circuit
+    construction (callers that already built it, e.g. service startup)."""
     import yaml
 
     from ..circuits.keyless_circuit import KeylessConfig, build_keyless_circuit, to_circuit_config
@@ -68,8 +76,9 @@ def procure(keyless_config=None, root: str = DEFAULT_SETUP_ROOT, force: bool = F
         return target
 
     os.makedirs(target, exist_ok=True)
-    with Span("BuildCircuit"):
-        cs = build_keyless_circuit(kc)
+    if cs is None:
+        with Span("BuildCircuit"):
+            cs = build_keyless_circuit(kc)
     with Span("ExportR1CS"):
         r = r1cs_from_cs(cs)
         save_r1cs(os.path.join(target, "main.r1cs"), r)

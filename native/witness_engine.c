@@ -9,7 +9,7 @@
  * prime r (R = 2^256).  Multiplication is 4-limb CIOS via __int128.
  * Rare big-integer hints (RSA long division) call back into Python.
  *
- * Build: gcc -O2 -shared -fPIC -o libwitness_engine.so witness_engine.c
+ * Build: gcc -O3 -march=native -shared -fPIC -o libwitness_engine.so witness_engine.c
  */
 
 #include <stdint.h>
@@ -34,6 +34,11 @@ static const u64 R2[4] = {
 static const u64 RMODP[4] = {
     0xac96341c4ffffffbULL, 0x36fc76959f60cd29ULL,
     0x666ea36f7879462eULL, 0x0e0a77c19a07df2fULL,
+};
+/* p - R mod p (Montgomery minus-one) */
+static const u64 NEGR[4] = {
+    0x974bc177a0000006ULL, 0xf13771b2da58a367ULL,
+    0x51e1a2470908122eULL, 0x2259d6b14729c0faULL,
 };
 
 typedef struct { u64 v[4]; } fe;
@@ -171,6 +176,13 @@ typedef struct {
     int64_t n_wires;
 } prog;
 
+/* coef tags for the +-1 fast path: circuit wiring is dominated by
+ * coefficient 1 (copies/sums) and -1 (differences); both skip the
+ * Montgomery multiply entirely (cR * vR * R^-1 = vR when c = 1). */
+static inline int fe_eq4(const fe *a, const u64 b[4]) {
+    return a->v[0] == b[0] && a->v[1] == b[1] && a->v[2] == b[2] && a->v[3] == b[3];
+}
+
 static void eval_lc(const prog *pg, int64_t lc_index, fe *out) {
     const int64_t *off = pg->lc_offsets + 2 * lc_index;
     int64_t ptr = off[0], cnt = off[1];
@@ -178,9 +190,15 @@ static void eval_lc(const prog *pg, int64_t lc_index, fe *out) {
     for (int64_t t = 0; t < cnt; t++) {
         const fe *coef = (const fe *)(pg->lc_coefs + 4 * (ptr + t));
         const fe *val = (const fe *)(pg->wires + 4 * pg->lc_wires[ptr + t]);
-        fe prod;
-        fe_mont_mul(&prod, coef, val);
-        fe_add(&acc, &acc, &prod);
+        if (fe_eq4(coef, RMODP)) {
+            fe_add(&acc, &acc, val);
+        } else if (fe_eq4(coef, NEGR)) {
+            fe_sub(&acc, &acc, val);
+        } else {
+            fe prod;
+            fe_mont_mul(&prod, coef, val);
+            fe_add(&acc, &acc, &prod);
+        }
     }
     *out = acc;
 }
@@ -323,9 +341,15 @@ int64_t r1cs_check(const int64_t *abc_offsets, /* per-constraint 6 entries:
             for (int64_t t = 0; t < cnt; t++) {
                 const fe *coef = (const fe *)(term_coefs_mont + 4 * (ptr + t));
                 const fe *val = (const fe *)(wires_std + 4 * term_wires[ptr + t]);
-                fe prod;
-                fe_mont_mul(&prod, coef, val); /* (cR)(v)R^-1 = cv */
-                fe_add(&a, &a, &prod);
+                if (fe_eq4(coef, RMODP)) {          /* c = 1: cv = v */
+                    fe_add(&a, &a, val);
+                } else if (fe_eq4(coef, NEGR)) {    /* c = -1: cv = -v */
+                    fe_sub(&a, &a, val);
+                } else {
+                    fe prod;
+                    fe_mont_mul(&prod, coef, val); /* (cR)(v)R^-1 = cv */
+                    fe_add(&a, &a, &prod);
+                }
             }
             acc[s] = a;
         }

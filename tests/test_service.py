@@ -194,3 +194,65 @@ def test_batch_proving_config(tmp_path):
     p.write_text("batch_proving: true\nmax_batch: 4\n")
     cfg = ProverServiceConfig.from_yaml(str(p))
     assert cfg.batch_proving and cfg.max_batch == 4
+
+
+def test_http_backpressure_gate():
+    """The in-flight gate (the tokio-semantics analog) must shed load with
+    503 + Retry-After when saturated and recover afterwards."""
+    import http.client
+    import threading
+    import time
+
+    from keyless_zk_tpu.service.server import _make_handler, ThreadingHTTPServer
+
+    state = _state()
+    release = threading.Event()
+
+    # inject a slow endpoint so one request can pin the only slot
+    from keyless_zk_tpu.service import handler as handler_mod
+
+    real_handle = handler_mod.handle_request
+
+    def slow_handle(st, method, path, body):
+        if path == "/slow":
+            release.wait(10)
+            return 200, {}, {"status": "ok"}
+        return real_handle(st, method, path, body)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(handler_mod, "handle_request", slow_handle), \
+         mock.patch("keyless_zk_tpu.service.server.handle_request", slow_handle):
+        srv = ThreadingHTTPServer(
+            ("127.0.0.1", 0), _make_handler(state, max_inflight=1, request_timeout=5)
+        )
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            # occupy the single slot
+            c1 = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+            c1.request("GET", "/slow")
+            time.sleep(0.3)  # let it enter the handler
+
+            # second request must be shed immediately
+            c2 = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+            c2.request("GET", "/healthcheck")
+            r2 = c2.getresponse()
+            assert r2.status == 503
+            assert r2.getheader("Retry-After") == "1"
+            r2.read()
+
+            release.set()
+            r1 = c1.getresponse()
+            assert r1.status == 200
+            r1.read()
+
+            # gate released: next request succeeds
+            c3 = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+            c3.request("GET", "/healthcheck")
+            r3 = c3.getresponse()
+            assert r3.status == 200
+        finally:
+            release.set()
+            srv.shutdown()

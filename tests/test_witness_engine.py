@@ -113,3 +113,38 @@ def test_engine_full_keyless():
 
     assert np.array_equal(limbs[:100], ints_to_limbs(ints[:100]))
     print(f"native witness: {t_native * 1e3:.0f} ms for {cs.n_wires} wires")
+
+
+def test_program_save_load_roundtrip(tmp_path):
+    """Serialized program tables (the analog of circom's prebuilt main_c,
+    testing_setup.py:72-79) must reproduce the witness bit-for-bit without
+    the ConstraintSystem."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from jwt_fixture import make_test_jwt
+    from test_keyless_circuit import SMALL
+    from keyless_zk_tpu.circuits.keyless_circuit import (
+        build_keyless_circuit,
+        to_circuit_config,
+        witness_kwargs,
+    )
+    from keyless_zk_tpu.input_processing.input_signals import derive_circuit_input_signals
+
+    cs = build_keyless_circuit(SMALL)
+    tj = make_test_jwt()
+    signals, _ = derive_circuit_input_signals(to_circuit_config(SMALL), tj.vi)
+    kw = witness_kwargs(signals)
+
+    prog = CompiledWitnessProgram(cs)
+    want = prog.compute_witness(**kw)
+
+    path = str(tmp_path / "witness_program.npz")
+    prog.save(path)
+    loaded = CompiledWitnessProgram.load(path)
+    assert loaded.cs is None
+    got = loaded.compute_witness(**kw)
+    assert np.array_equal(got, want)
+    assert np.array_equal(loaded.witness_limbs(got), prog.witness_limbs(want))
+    with pytest.raises(RuntimeError, match="ConstraintSystem"):
+        loaded.check_witness(got)
