@@ -110,7 +110,10 @@ def _load_lib():
             with open(hdr, "w") as f:
                 f.write(_gen_header())
             subprocess.run(
-                ["gcc", "-O2", "-shared", "-fPIC", f"-I{_LIB_DIR}", "-o", _LIB, _SRC],
+                [
+                    "gcc", "-O3", "-march=native", "-shared", "-fPIC",
+                    f"-I{_LIB_DIR}", "-o", _LIB, _SRC,
+                ],
                 check=True,
                 capture_output=True,
             )

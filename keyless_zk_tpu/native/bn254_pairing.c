@@ -136,19 +136,71 @@ static void fq_from_mont(fq *r, const fq *a) {
 }
 
 /* Fermat inversion: a^(p-2) */
-static void fq_inv(fq *r, const fq *a) {
-    static const uint64_t e[4] = { BN_PM2_0, BN_PM2_1, BN_PM2_2, BN_PM2_3 };
-    fq acc = FQ_ONE, base = *a;
+/* Binary extended GCD inversion (HAC 14.61) — ~10x cheaper than the
+ * Fermat ladder. Proof verification handles public data only, so
+ * variable time is fine (ark-groth16's verify is variable-time too). */
+static inline int fq256_is_even(const fq *a) { return (a->l[0] & 1) == 0; }
+
+static inline void fq256_shr1(fq *a) {
+    a->l[0] = (a->l[0] >> 1) | (a->l[1] << 63);
+    a->l[1] = (a->l[1] >> 1) | (a->l[2] << 63);
+    a->l[2] = (a->l[2] >> 1) | (a->l[3] << 63);
+    a->l[3] >>= 1;
+}
+
+static inline void fq256_half_mod(fq *a) {
+    if (fq256_is_even(a)) {
+        fq256_shr1(a);
+    } else {
+        unsigned __int128 carry = 0;
+        for (int i = 0; i < 4; i++) {
+            unsigned __int128 s = (unsigned __int128)a->l[i] + FQ_P.l[i] + (uint64_t)carry;
+            a->l[i] = (uint64_t)s;
+            carry = s >> 64;
+        }
+        fq256_shr1(a);
+        a->l[3] |= (uint64_t)carry << 63;
+    }
+}
+
+static inline int fq256_cmp(const fq *a, const fq *b) {
+    for (int i = 3; i >= 0; i--) {
+        if (a->l[i] > b->l[i]) return 1;
+        if (a->l[i] < b->l[i]) return -1;
+    }
+    return 0;
+}
+
+static inline void fq256_sub_raw(fq *out, const fq *a, const fq *b) {
+    unsigned __int128 borrow = 0;
     for (int i = 0; i < 4; i++) {
-        uint64_t w = e[i];
-        for (int b = 0; b < 64; b++) {
-            if (w & 1) fq_mul(&acc, &acc, &base);
-            w >>= 1;
-            if (i == 3 && w == 0) break;
-            fq_sqr(&base, &base);
+        unsigned __int128 d = (unsigned __int128)a->l[i] - b->l[i] - (uint64_t)borrow;
+        out->l[i] = (uint64_t)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+}
+
+/* Montgomery-form inverse: aR -> a^-1 R.  The xGCD of aR yields
+ * a^-1 R^-1; two REDC multiplies by R^2 restore the factor. */
+static void fq_inv(fq *r, const fq *a) {
+    static const fq ONE = { { 1, 0, 0, 0 } };
+    if (fq_is_zero(a)) { *r = *a; return; } /* 0 -> 0, like the Fermat ladder */
+    fq u = *a, v = FQ_P;
+    fq x1 = ONE, x2 = { { 0, 0, 0, 0 } };
+    while (fq256_cmp(&u, &ONE) != 0 && fq256_cmp(&v, &ONE) != 0) {
+        while (fq256_is_even(&u)) { fq256_shr1(&u); fq256_half_mod(&x1); }
+        while (fq256_is_even(&v)) { fq256_shr1(&v); fq256_half_mod(&x2); }
+        if (fq256_cmp(&u, &v) >= 0) {
+            fq256_sub_raw(&u, &u, &v);
+            fq_sub(&x1, &x1, &x2);
+        } else {
+            fq256_sub_raw(&v, &v, &u);
+            fq_sub(&x2, &x2, &x1);
         }
     }
-    *r = acc;
+    fq inv = (fq256_cmp(&u, &ONE) == 0) ? x1 : x2;
+    fq_mul(&inv, &inv, &FQ_R2); /* a^-1 R^-1 * R^2 * R^-1 = a^-1 */
+    fq_mul(r, &inv, &FQ_R2);    /* a^-1 * R^2 * R^-1 = a^-1 R */
 }
 
 /* ---------------- Fq2 = Fq[u]/(u^2+1) ---------------- */

@@ -132,18 +132,82 @@ static inline void fe_from_mont(fe *out, const fe *a) {
     fe_mont_mul(out, a, &one);
 }
 
-/* Fermat inverse in Montgomery form: a^(p-2).  Fixed 254-bit exponent. */
-static void fe_mont_inv(fe *out, const fe *a) {
-    static const u64 E[4] = { /* p - 2 */
-        0x43e1f593efffffffULL, 0x2833e84879b97091ULL,
-        0xb85045b68181585dULL, 0x30644e72e131a029ULL,
-    };
-    fe acc = {{RMODP[0], RMODP[1], RMODP[2], RMODP[3]}};
-    for (int bit = 253; bit >= 0; bit--) {
-        fe_mont_mul(&acc, &acc, &acc);
-        if ((E[bit / 64] >> (bit % 64)) & 1) fe_mont_mul(&acc, &acc, a);
+/* ---- binary extended GCD inversion --------------------------------------
+ * ~10x cheaper than the Fermat ladder (shift/sub iterations instead of
+ * ~380 Montgomery multiplies). Witness generation is variable-time in the
+ * reference too (gmp in the circom C generator), so this changes nothing
+ * about the timing posture. */
+
+static inline int fe256_is_even(const fe *a) { return (a->v[0] & 1) == 0; }
+
+static inline void fe256_shr1(fe *a) {
+    a->v[0] = (a->v[0] >> 1) | (a->v[1] << 63);
+    a->v[1] = (a->v[1] >> 1) | (a->v[2] << 63);
+    a->v[2] = (a->v[2] >> 1) | (a->v[3] << 63);
+    a->v[3] >>= 1;
+}
+
+/* a >>= 1 in Z_p: odd values get +p first (p odd, so a+p is even). The
+ * sum can carry past 2^256; fold the carry into the shift. */
+static inline void fe256_half_mod(fe *a) {
+    if (fe256_is_even(a)) {
+        fe256_shr1(a);
+    } else {
+        u128 carry = 0;
+        for (int i = 0; i < 4; i++) {
+            u128 s = (u128)a->v[i] + P[i] + (u64)carry;
+            a->v[i] = (u64)s;
+            carry = s >> 64;
+        }
+        fe256_shr1(a);
+        a->v[3] |= (u64)carry << 63;
     }
-    *out = acc;
+}
+
+static inline int fe256_cmp(const fe *a, const fe *b) {
+    for (int i = 3; i >= 0; i--) {
+        if (a->v[i] > b->v[i]) return 1;
+        if (a->v[i] < b->v[i]) return -1;
+    }
+    return 0;
+}
+
+static inline void fe256_sub_raw(fe *out, const fe *a, const fe *b) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 d = (u128)a->v[i] - b->v[i] - (u64)borrow;
+        out->v[i] = (u64)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+}
+
+/* out = in^-1 mod p for standard-form in (0 < in < p): HAC 14.61. */
+static void fe_inv_xgcd(fe *out, const fe *in) {
+    if (fe_is_zero(in)) { *out = *in; return; } /* 0 -> 0 (callers guard) */
+    fe u = *in, v = {{P[0], P[1], P[2], P[3]}};
+    fe x1 = {{1, 0, 0, 0}}, x2 = {{0, 0, 0, 0}};
+    static const fe ONE = {{1, 0, 0, 0}};
+    while (fe256_cmp(&u, &ONE) != 0 && fe256_cmp(&v, &ONE) != 0) {
+        while (fe256_is_even(&u)) { fe256_shr1(&u); fe256_half_mod(&x1); }
+        while (fe256_is_even(&v)) { fe256_shr1(&v); fe256_half_mod(&x2); }
+        if (fe256_cmp(&u, &v) >= 0) {
+            fe256_sub_raw(&u, &u, &v);
+            fe_sub(&x1, &x1, &x2);
+        } else {
+            fe256_sub_raw(&v, &v, &u);
+            fe_sub(&x2, &x2, &x1);
+        }
+    }
+    *out = (fe256_cmp(&u, &ONE) == 0) ? x1 : x2;
+}
+
+/* Montgomery-form inverse: aR -> a^-1 R.  xGCD gives (aR)^-1 = a^-1 R^-1;
+ * two REDC multiplies by R^2 restore the Montgomery factor. */
+static void fe_mont_inv(fe *out, const fe *a) {
+    fe inv, r2 = {{R2[0], R2[1], R2[2], R2[3]}};
+    fe_inv_xgcd(&inv, a);
+    fe_mont_mul(&inv, &inv, &r2); /* a^-1 R^-1 * R^2 * R^-1 = a^-1 */
+    fe_mont_mul(out, &inv, &r2);  /* a^-1 * R^2 * R^-1 = a^-1 R */
 }
 
 /* ---- bytecode ---------------------------------------------------------- */

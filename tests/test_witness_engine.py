@@ -148,3 +148,22 @@ def test_program_save_load_roundtrip(tmp_path):
     assert np.array_equal(loaded.witness_limbs(got), prog.witness_limbs(want))
     with pytest.raises(RuntimeError, match="ConstraintSystem"):
         loaded.check_witness(got)
+
+
+def test_engine_inversion_differential():
+    """xGCD inverse in OP_ISZERO vs the Python witness path across random
+    wide field values (and p-1, 1)."""
+    import random
+
+    from keyless_zk_tpu.circuits import gadgets as g
+
+    cs = ConstraintSystem()
+    ws = cs.new_wires(10)
+    cs.set_input_hint(ws, "vals")
+    for w in ws:
+        g.is_zero(cs, cs.lc(w))
+    rng = random.Random(99)
+    from keyless_zk_tpu.circuits.witness_engine import P
+
+    vals = [1, P - 1, 2, (P + 1) // 2] + [rng.randrange(1, P) for _ in range(5)] + [0]
+    _diff(cs, vals=vals)
