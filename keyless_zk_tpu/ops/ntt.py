@@ -51,9 +51,17 @@ def geometric_powers(base_mont: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 class NTTPlan:
-    """Precomputed twiddles for one 2^domain_pow domain (device-resident)."""
+    """Precomputed twiddles for one 2^domain_pow domain (device-resident).
 
-    def __init__(self, domain_pow: int):
+    The tables are pure constants of the domain, but building them runs
+    ~2*domain_pow distinct-shape mont_mul computations — each a fresh XLA
+    compile (minutes on the CPU backend, a remote-tunnel round trip each on
+    TPU). They are therefore disk-cached per domain_pow (the analog of the
+    reference precomputing its root table once in the FFT ctor,
+    fft.cpp:39-136) and reloaded as one npz.
+    """
+
+    def __init__(self, domain_pow: int, cache: bool = True):
         if domain_pow > bn254.TWO_ADICITY:
             raise ValueError("domain size too big for the curve")  # fft.cpp:80-83
         self.domain_pow = domain_pow
@@ -61,10 +69,56 @@ class NTTPlan:
         w = bn254.fr_root_of_unity(domain_pow)
         w_inv = pow(w, -1, FR.p)
         self.n_inv_mont = jf.encode_ints([pow(self.n, -1, FR.p)], FR, mont=True)[0]
+        self._coset = None
+        if cache and self._load_cached():
+            return
         # per-level twiddle tables: level d needs (w^(2^d))^c for c < n/2^(d+1)
         self.twiddles = self._build(w)
         self.twiddles_inv = self._build(w_inv)
         self.perm = jnp.asarray(_bit_reverse_perm(domain_pow))
+        if cache:
+            self._save_cache()
+
+    def _cache_path(self) -> str:
+        import os
+
+        root = os.path.join(os.path.expanduser("~"), ".cache", "keyless_zk_tpu")
+        os.makedirs(root, exist_ok=True)
+        return os.path.join(root, f"ntt_plan_{self.domain_pow}.npz")
+
+    def _load_cached(self) -> bool:
+        import os
+
+        path = self._cache_path()
+        if not os.path.exists(path):
+            return False
+        try:
+            z = np.load(path, allow_pickle=False)
+            self.twiddles = [
+                jnp.asarray(z[f"t{d}"]) for d in range(self.domain_pow)
+            ]
+            self.twiddles_inv = [
+                jnp.asarray(z[f"i{d}"]) for d in range(self.domain_pow)
+            ]
+            self.perm = jnp.asarray(z["perm"])
+            self._coset = jnp.asarray(z["coset"])
+            return True
+        except Exception:
+            return False  # corrupt/stale: rebuild
+
+    def _save_cache(self) -> None:
+        import os
+
+        arrays = {f"t{d}": np.asarray(t) for d, t in enumerate(self.twiddles)}
+        arrays |= {f"i{d}": np.asarray(t) for d, t in enumerate(self.twiddles_inv)}
+        arrays["perm"] = np.asarray(self.perm)
+        arrays["coset"] = np.asarray(self.coset_powers())
+        path = self._cache_path()
+        try:
+            np.savez(path + f".tmp{os.getpid()}.npz", **arrays)
+            os.replace(path + f".tmp{os.getpid()}.npz", path)
+        except Exception:
+            pass  # caching is best-effort
 
     def _build(self, w: int):
         tables = []
@@ -97,11 +151,14 @@ class NTTPlan:
         """eta^i for i < n with eta the 2^(domain_pow+1)-th root of unity.
 
         This is the shift the reference applies between iFFT and FFT
-        (groth16.cpp:182-190, root(domainPow+1, i)).
+        (groth16.cpp:182-190, root(domainPow+1, i)). Memoized (and part of
+        the on-disk plan cache).
         """
-        eta = bn254.fr_root_of_unity(self.domain_pow + 1)
-        base = jf.encode_ints([eta], FR, mont=True)[0]
-        return geometric_powers(base, self.n)
+        if self._coset is None:
+            eta = bn254.fr_root_of_unity(self.domain_pow + 1)
+            base = jf.encode_ints([eta], FR, mont=True)[0]
+            self._coset = geometric_powers(base, self.n)
+        return self._coset
 
 
 @functools.lru_cache(maxsize=4)
