@@ -186,8 +186,44 @@ def solve_witness(
 def witness_from_input_json(
     r1cs_path: str, input_json_path: str, sym_path: str | None = None
 ) -> np.ndarray:
+    """Witness in circom wire order from an .r1cs + input.json.
+
+    Fast path: compile the R1CS to a native witness program (circom_witness
+    .py — cached on disk per r1cs content) and execute in C. Falls back to
+    the Python propagation solver only when the compiler hits a hint
+    pattern it doesn't recognize."""
     r1cs = load_r1cs(r1cs_path)
     with open(input_json_path) as f:
         inputs = json.load(f)
     sym = load_sym(sym_path) if sym_path else None
-    return solve_witness(r1cs, input_assignments(r1cs, inputs, sym))
+    known = input_assignments(r1cs, inputs, sym)
+    try:
+        prog = _cached_program(r1cs, r1cs_path)
+        return np.array(prog.compute_ints(known), dtype=object)
+    except ValueError:
+        return solve_witness(r1cs, known)
+
+
+def _cached_program(r1cs: R1CS, r1cs_path: str):
+    """Compile-once cache keyed by the r1cs file's content hash."""
+    import hashlib
+    import os
+
+    from .circom_witness import CircomWitnessProgram
+
+    with open(r1cs_path, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    root = os.path.join(os.path.expanduser("~"), ".cache", "keyless_zk_tpu")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"circom_witprog_{digest}.npz")
+    if os.path.exists(path):
+        try:
+            return CircomWitnessProgram.load(r1cs, path)
+        except Exception:
+            pass  # stale/corrupt: recompile
+    prog = CircomWitnessProgram(r1cs)
+    try:
+        prog.save(path)
+    except Exception:
+        pass  # caching is best-effort
+    return prog

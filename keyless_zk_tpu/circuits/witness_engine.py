@@ -38,6 +38,9 @@ _OPCODES = {
     "bigdiv": 7,
     "bigcarry": 7,
     "call": 7,
+    # R1CS propagation solves (foreign circom R1CS, circom_witness.py)
+    "fms": 8,
+    "divsub": 9,
 }
 
 _SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "witness_engine.c")

@@ -47,6 +47,9 @@ from ..fields.limbs import LIMB_BITS, NUM_LIMBS
 
 SCALAR_BITS = 254
 
+# bump when fused-kernel semantics change (invalidates AOT export cache)
+AOT_VERSION = 3
+
 _PALLAS_CURVES = {}
 
 
@@ -250,10 +253,22 @@ def msm(
         return _msm_small(points_x, points_y, points_inf, scalars, curve=curve)
     tag = _fused_tag(curve)
     if tag is not None:
-        return _msm_pippenger_fused(
+        import functools as _ft
+
+        from ..utils.aot_cache import aot_call
+
+        cw = c or fused_window_bits(n)
+        fn = jax.jit(
+            _ft.partial(
+                _msm_pippenger_fused.__wrapped__,
+                tag=tag, c=cw, v=scan_v, assume_distinct=assume_distinct,
+            )
+        )
+        return aot_call(
+            f"msm_fused_{tag}_c{cw}_v{scan_v}_d{int(assume_distinct)}",
+            AOT_VERSION,
+            fn,
             points_x, points_y, points_inf, scalars,
-            tag=tag, c=c or fused_window_bits(n), v=scan_v,
-            assume_distinct=assume_distinct,
         )
     return _msm_pippenger(
         points_x, points_y, points_inf, scalars,

@@ -282,6 +282,26 @@ def _row_roll(x, q: int):
     return pltpu.roll(x, (rows - q % rows) % rows, axis=0) if q % rows else x
 
 
+def _row_roll_dyn(x, q):
+    """Left-shift rows by a traced q in [0, rows): bit-decomposed into
+    static sublane rotations (Mosaic's dynamic rotate is lane-axis only)."""
+    rows = x.shape[0]
+    for b in range((rows - 1).bit_length()):
+        x = sel((q >> b) & 1 == 1, _row_roll(x, 1 << b), x)
+    return x
+
+
+def _flat_roll_dyn(x, s):
+    """Left-shift by a traced flat amount s in [0, m) in row-major order of
+    a (r, 128) block: row part then lane part (the lane roll of the already
+    row-rolled block wraps into the correct next row)."""
+    q = s // _W
+    r2 = s % _W
+    xq = _row_roll_dyn(x, q) if x.shape[0] > 1 else x
+    lane = _lane_flat_roll(xq, jnp.maximum(r2, 1))
+    return sel(r2 == 0, xq, lane)
+
+
 def _flat_iota(shape):
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -302,15 +322,16 @@ def _suffix_passes(F, pt, keys, n_repeats: int):
     """`n_repeats` full inclusive suffix-sum scans over the row-major (r, 128)
     blocks of pt, segmented by `keys` (None = unsegmented).
 
-    Lane-level passes (shift 1..64) run under one fori_loop with a dynamic
-    lane rotate so the kernel graph holds ONE group-law instance for them;
-    row-level passes (static sublane rotate) unroll.
+    ALL passes (every repeat, lane- and row-level shifts) run under a single
+    fori_loop with a dynamic flat rotate, so the kernel graph holds exactly
+    ONE group-law instance — tracing the 16-limb EC add dominates kernel
+    build time (~4 s per instance), and the round-2 unrolled row passes made
+    MSM trace+lower take minutes per shape.
     """
     shape = (pt[0][0] if F is KFQ else pt[0][0][0]).shape
     m = shape[0] * shape[1]
     idx = _flat_iota(shape)
-    lane_steps = min(max(m - 1, 1).bit_length(), 7)
-    row_steps = max(m - 1, 1).bit_length() - lane_steps
+    steps = max(m - 1, 1).bit_length()
 
     def ok(rolled_keys, s):
         valid = idx < m - s
@@ -318,23 +339,15 @@ def _suffix_passes(F, pt, keys, n_repeats: int):
             valid &= rolled_keys == keys
         return valid
 
-    for _rep in range(n_repeats):
-        flat = _pt_to_list(F, pt)
+    def body(t, flat):
+        s = jnp.left_shift(jnp.int32(1), jnp.mod(t, steps).astype(jnp.int32))
+        cur = _pt_from_list(F, flat)
+        rk = _flat_roll_dyn(keys, s) if keys is not None else None
+        nxt = _masked_step(F, cur, ok(rk, s), lambda v: _flat_roll_dyn(v, s))
+        return _pt_to_list(F, nxt)
 
-        def lane_body(p, flat):
-            s = jnp.left_shift(1, p)
-            cur = _pt_from_list(F, flat)
-            rk = _lane_flat_roll(keys, s) if keys is not None else None
-            nxt = _masked_step(F, cur, ok(rk, s), lambda v: _lane_flat_roll(v, s))
-            return _pt_to_list(F, nxt)
-
-        flat = jax.lax.fori_loop(0, lane_steps, lane_body, flat)
-        pt = _pt_from_list(F, flat)
-        for j in range(row_steps):
-            q = 1 << j
-            rk = _row_roll(keys, q) if keys is not None else None
-            pt = _masked_step(F, pt, ok(rk, q * _W), lambda v: _row_roll(v, q))
-    return pt
+    flat = jax.lax.fori_loop(0, n_repeats * steps, body, _pt_to_list(F, pt))
+    return _pt_from_list(F, flat)
 
 
 # ---- 2. boundary merge ------------------------------------------------------
@@ -357,6 +370,14 @@ def _build_merge(tag: str, n_win: int, m: int):
     key_spec = pl.BlockSpec((1, r, _W), lambda w: (w, 0, 0), memory_space=_vmem())
     pt_spec = pl.BlockSpec((1, R, r, _W), lambda w: (w, 0, 0, 0), memory_space=_vmem())
     pt_shape = jax.ShapeDtypeStruct((n_win, R, r, _W), jnp.uint32)
+    # Fq2 at large V busts the 16M default scoped-vmem budget (6 point
+    # blocks of R*m u32 plus scan temporaries live at once); v5e has 128M
+    # VMEM per core, so let the kernel use most of it.
+    params = {}
+    if not _INTERPRET:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20
+        )
     return pl.pallas_call(
         _merge_kernel_body(F),
         grid=(n_win,),
@@ -364,6 +385,7 @@ def _build_merge(tag: str, n_win: int, m: int):
         out_specs=(pt_spec, pt_spec, pt_spec),
         out_shape=(pt_shape, pt_shape, pt_shape),
         interpret=_INTERPRET,
+        **params,
     )
 
 

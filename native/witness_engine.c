@@ -221,6 +221,12 @@ enum {
     OP_ONEHOT = 5,  /* outs[j] = eval(lc0) == j + param0 */
     OP_QUOREM = 6,  /* outs = [eval(lc0) / param0, eval(lc0) % param0] */
     OP_PYCALL = 7,  /* scratch-in LCs -> python callback -> outs */
+    OP_FMS = 8,     /* outs[0] = eval(lc0)*eval(lc1) - eval(lc2): the C-side
+                     * R1CS propagation solve x = (A.w)(B.w) - C_known.w with
+                     * the unknown's coef inverse folded into lc0/lc2 */
+    OP_DIVSUB = 9,  /* outs[0] = eval(lc0)*eval(lc1)^-1 - eval(lc2): the
+                     * A/B-side solve x = (C.w)/(B.w) - A_known.w (errors if
+                     * eval(lc1) == 0 — the witness is then underdetermined) */
 };
 
 /* op row layout: opcode, param0, param1, out_ptr, out_count, lc_ptr, lc_count, reserved */
@@ -373,6 +379,28 @@ int witness_eval(const int64_t *op_table, int64_t n_ops,
                 fe_to_mont((fe *)(wires + 4 * outs[j]),
                            (const fe *)(scratch_out + 4 * j));
             }
+            break;
+        }
+        case OP_FMS: {
+            fe a, b, c, r;
+            eval_lc(&pg, lc_ptr, &a);
+            eval_lc(&pg, lc_ptr + 1, &b);
+            eval_lc(&pg, lc_ptr + 2, &c);
+            fe_mont_mul(&r, &a, &b);
+            fe_sub(&r, &r, &c);
+            *(fe *)(wires + 4 * outs[0]) = r;
+            break;
+        }
+        case OP_DIVSUB: {
+            fe a, b, c, inv, r;
+            eval_lc(&pg, lc_ptr, &a);
+            eval_lc(&pg, lc_ptr + 1, &b);
+            eval_lc(&pg, lc_ptr + 2, &c);
+            if (fe_is_zero(&b)) return -(int)i - 1;
+            fe_mont_inv(&inv, &b);
+            fe_mont_mul(&r, &a, &inv);
+            fe_sub(&r, &r, &c);
+            *(fe *)(wires + 4 * outs[0]) = r;
             break;
         }
         default:

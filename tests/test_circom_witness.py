@@ -1,0 +1,143 @@
+"""Compiled circom-R1CS witness programs (the fast interop path).
+
+The reference's per-request witness generation is a circom-generated C
+binary (prover_handler.rs:541-572); circom_witness.py compiles the same
+computation from the .r1cs alone into our native engine's bytecode. These
+tests anchor it against the reference's circom-produced toy artifacts and
+against hand-built R1CS instances exercising each hint pattern.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from keyless_zk_tpu.circuits.circom_witness import CircomWitnessProgram
+from keyless_zk_tpu.circuits.r1cs_file import R1CS
+from keyless_zk_tpu.fields import bn254
+
+TOY = "/root/reference/prover-service/resources/toy_circuit"
+P = bn254.R_SCALAR
+
+
+def make_r1cs(n_wires, n_pub_out, n_pub_in, n_prv_in, rows):
+    A, B, C = zip(*rows) if rows else ([], [], [])
+    return R1CS(
+        prime=P,
+        n_wires=n_wires,
+        n_pub_out=n_pub_out,
+        n_pub_in=n_pub_in,
+        n_prv_in=n_prv_in,
+        n_constraints=len(rows),
+        A=list(A),
+        B=list(B),
+        C=list(C),
+    )
+
+
+def test_toy_circuit_bit_exact():
+    """Byte parity with the reference's circom-produced toy.wtns."""
+    from keyless_zk_tpu.circuits.circom_interop import (
+        input_assignments,
+        load_r1cs,
+    )
+    from keyless_zk_tpu.fields.limbs import limbs_to_ints
+    from keyless_zk_tpu.groth16.wtns import load_wtns
+
+    r1cs = load_r1cs(f"{TOY}/toy.r1cs")
+    prog = CircomWitnessProgram(r1cs)
+    inputs = json.load(open(f"{TOY}/toy_input.json"))
+    got = prog.compute_ints(input_assignments(r1cs, inputs))
+    ref = limbs_to_ints(load_wtns(f"{TOY}/toy.wtns").values)
+    assert got == list(ref)
+
+
+def test_num2bits_pattern():
+    """circom Num2Bits: booleanity rows + one dense power-of-two linear row
+    must lower to a single OP_BITS op."""
+    m = 5
+    # wires: 0=1, 1=x (prv in), 2..6 = bits
+    rows = []
+    for i in range(m):
+        b = 2 + i
+        rows.append(({b: 1}, {b: 1, 0: P - 1}, {}))  # b*(b-1) = 0
+    rows.append(({}, {}, {2 + i: pow(2, i, P) for i in range(m)} | {1: P - 1}))
+    r1cs = make_r1cs(2 + m, 0, 0, 1, rows)
+    prog = CircomWitnessProgram(r1cs)
+    for x in (0, 1, 19, 31):
+        w = prog.compute_ints({1: x})
+        assert w[2 : 2 + m] == [(x >> i) & 1 for i in range(m)]
+        assert prog.check(prog.compute({1: x})) is None
+
+
+def test_iszero_pattern():
+    """circom IsZero: -in*inv = out-1 with in*out = 0."""
+    # wires: 0=1, 1=out (pub out), 2=in (prv in), 3=inv
+    rows = [
+        ({2: P - 1}, {3: 1}, {1: 1, 0: P - 1}),
+        ({2: 1}, {1: 1}, {}),
+    ]
+    r1cs = make_r1cs(4, 1, 0, 1, rows)
+    prog = CircomWitnessProgram(r1cs)
+    w = prog.compute_ints({2: 0})
+    assert w[1] == 1 and w[3] == 0
+    w = prog.compute_ints({2: 7})
+    assert w[1] == 0 and w[3] == pow(7, -1, P)
+    assert prog.check(prog.compute({2: 7})) is None
+
+
+def test_divsub_solve():
+    """A-side unknown: x * b = c with b, c known -> runtime division."""
+    # wires: 0=1, 1=b (prv), 2=c (prv), 3=x; constraint x*b = c
+    rows = [({3: 1}, {1: 1}, {2: 1})]
+    r1cs = make_r1cs(4, 0, 0, 2, rows)
+    prog = CircomWitnessProgram(r1cs)
+    w = prog.compute_ints({1: 6, 2: 42})
+    assert w[3] == 7
+
+
+def test_check_catches_violation():
+    rows = [({1: 1}, {2: 1}, {3: 1})]  # a*b = c
+    r1cs = make_r1cs(4, 0, 0, 2, rows)
+    prog = CircomWitnessProgram(r1cs)
+    good = prog.compute({1: 3, 2: 5})
+    assert prog.check(good) is None
+    bad = good.copy()
+    bad[3, 0] ^= 1
+    assert prog.check(bad) == 0
+
+
+def test_underdetermined_raises():
+    # x*x = y with both unknown beyond inputs: no pattern applies
+    rows = [({2: 1}, {2: 1}, {3: 1})]
+    r1cs = make_r1cs(4, 0, 0, 1, rows)
+    with pytest.raises(ValueError, match="underdetermined"):
+        CircomWitnessProgram(r1cs)
+
+
+@pytest.mark.slow
+def test_large_chain_perf():
+    """1M-constraint squaring chain: compile once, execute in well under a
+    second (the verdict-3 bar for circom-order witnesses at keyless scale)."""
+    import time
+
+    n = 1 << 20
+    rows = []
+    for i in range(n):
+        # w_{i+2} = w_{i+1}^2 + i   (wire 1 = input)
+        rows.append(({i + 1: 1}, {i + 1: 1}, {i + 2: 1, 0: (P - i) % P}))
+    r1cs = make_r1cs(n + 2, 0, 0, 1, rows)
+    t0 = time.monotonic()
+    prog = CircomWitnessProgram(r1cs)
+    compile_s = time.monotonic() - t0
+    t0 = time.monotonic()
+    w = prog.compute({1: 3})
+    exec_s = time.monotonic() - t0
+    # spot-check the chain against host ints
+    v = 3
+    for i in range(n):
+        v = (v * v + i) % P
+    got = int(w[n + 1, 0]) | int(w[n + 1, 1]) << 64 | int(w[n + 1, 2]) << 128 | int(w[n + 1, 3]) << 192
+    assert got == v
+    print(f"compile {compile_s:.1f}s exec {exec_s*1e3:.0f}ms")
+    assert exec_s < 1.0, f"execution took {exec_s:.2f}s"
