@@ -50,6 +50,23 @@ def geometric_powers(base_mont: jnp.ndarray, n: int) -> jnp.ndarray:
     return pows
 
 
+@jax.jit
+def _transform_jit(x: jnp.ndarray, perm: jnp.ndarray, tables) -> jnp.ndarray:
+    """DIF butterfly levels + bit-reversal gather (fft.cpp:191-219's loop
+    nest as whole-array ops). len(tables) levels; x shape (..., n, 16)."""
+    batch = x.shape[:-2]
+    n = x.shape[-2]
+    for d in range(len(tables)):
+        half = n >> (d + 1)
+        v = x.reshape(*batch, 1 << d, 2, half, 16)
+        e = v[..., 0, :, :]
+        o = v[..., 1, :, :]
+        lo = jf.add(e, o, FR)
+        hi = jf.mont_mul(jf.sub(e, o, FR), tables[d], FR)
+        x = jnp.stack([lo, hi], axis=-3).reshape(*batch, n, 16)
+    return jnp.take(x, perm, axis=-2)
+
+
 class NTTPlan:
     """Precomputed twiddles for one 2^domain_pow domain (device-resident).
 
@@ -128,17 +145,12 @@ class NTTPlan:
         return tables
 
     def _transform(self, x: jnp.ndarray, tables) -> jnp.ndarray:
-        """DIF butterflies + bit-reversal gather; x shape (..., n, 16)."""
-        batch = x.shape[:-2]
-        for d in range(self.domain_pow):
-            half = self.n >> (d + 1)
-            v = x.reshape(*batch, 1 << d, 2, half, 16)
-            e = v[..., 0, :, :]
-            o = v[..., 1, :, :]
-            lo = jf.add(e, o, FR)
-            hi = jf.mont_mul(jf.sub(e, o, FR), tables[d], FR)
-            x = jnp.stack([lo, hi], axis=-3).reshape(*batch, self.n, 16)
-        return jnp.take(x, self.perm, axis=-2)
+        """DIF butterflies + bit-reversal gather; x shape (..., n, 16).
+
+        Twiddles/perm ride as ARGUMENTS of the jitted graph (not closed-over
+        constants): at 2^21 the tables are ~256 MB and baking them into the
+        module would bloat every export/compile-cache entry with them."""
+        return _transform_jit(x, self.perm, tuple(tables))
 
     def ntt(self, x: jnp.ndarray) -> jnp.ndarray:
         return self._transform(x, self.twiddles)

@@ -192,6 +192,31 @@ def main(argv=None) -> int:
     ss.add_argument("key")
     ss.add_argument("--slot", required=True, choices=["default", "new"])
     ss.add_argument("--root", default=DEFAULT_SETUP_ROOT)
+    dc = sub.add_parser(
+        "download-ceremony",
+        help="fetch a released trusted-setup ceremony (GitHub releases) "
+        "and install it (gh_release.py/ceremony_setup.py analog)",
+    )
+    dc.add_argument("release")
+    dc.add_argument("--repo", default="aptos-labs/keyless-zk-proofs")
+    dc.add_argument("--auth-token", default=os.environ.get("GITHUB_TOKEN"))
+    dc.add_argument(
+        "--checksum",
+        action="append",
+        default=[],
+        metavar="ASSET=SHA256",
+        help="pin an asset's sha256 (repeatable); mismatch aborts",
+    )
+    dc.add_argument("--root", default=DEFAULT_SETUP_ROOT)
+    dc.add_argument("--slot", default="new", choices=["default", "new"])
+    cp = sub.add_parser("cache-push", help="tar.gz a setup to a remote cache")
+    cp.add_argument("setup_dir")
+    cp.add_argument("--remote", required=True)
+    cl = sub.add_parser("cache-pull", help="fetch a setup from a remote cache")
+    cl.add_argument("key")
+    cl.add_argument("--remote", required=True)
+    cl.add_argument("--root", default=DEFAULT_SETUP_ROOT)
+    cl.add_argument("--slot", choices=["default", "new"])
     sub.add_parser("show")
     args = ap.parse_args(argv)
 
@@ -211,6 +236,34 @@ def main(argv=None) -> int:
         return 0
     if args.cmd == "set-slot":
         set_slot(args.root, args.key, args.slot)
+        return 0
+    if args.cmd == "download-ceremony":
+        from .ceremony import download_ceremony
+
+        checks = dict(kv.split("=", 1) for kv in args.checksum)
+        path = download_ceremony(
+            args.release,
+            root=args.root,
+            repo=args.repo,
+            auth_token=args.auth_token,
+            checksums=checks or None,
+            slot=args.slot,
+        )
+        print(path)
+        return 0
+    if args.cmd == "cache-push":
+        from .ceremony import cache_push
+
+        print(cache_push(args.setup_dir, args.remote))
+        return 0
+    if args.cmd == "cache-pull":
+        from .ceremony import cache_pull
+
+        path = cache_pull(args.key, args.remote, root=args.root, slot=args.slot)
+        if path is None:
+            print("not found in cache", file=sys.stderr)
+            return 1
+        print(path)
         return 0
     root = DEFAULT_SETUP_ROOT
     if os.path.isdir(root):

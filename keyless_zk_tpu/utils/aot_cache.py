@@ -33,6 +33,27 @@ _memo: dict[str, object] = {}
 _lock = threading.Lock()
 
 
+_registered = False
+
+
+def _register_pytrees() -> None:
+    """Register custom pytree containers appearing in exported signatures."""
+    global _registered
+    if _registered:
+        return
+    import jax
+
+    from ..curves.jacobian import JacPoint
+
+    try:
+        jax.export.register_namedtuple_serialization(
+            JacPoint, serialized_name="keyless_zk_tpu.JacPoint"
+        )
+    except ValueError:
+        pass  # already registered
+    _registered = True
+
+
 def _platform() -> str:
     import jax
 
@@ -61,6 +82,7 @@ def aot_call(name: str, version: int, fn, *args, **kwargs):
     """
     import jax
 
+    _register_pytrees()
     key_raw = "|".join(
         [
             name,
