@@ -44,15 +44,27 @@ def _flush_local():
         pass
 
 
-def timeit(fn, iters=3, warmup=1):
-    import jax
+def sync(out):
+    """Force completion via a tiny host readback.
 
+    jax.block_until_ready is a NO-OP over the axon TPU tunnel (measured:
+    returns in 0.1 ms while the computation takes 64 ms) — every timing
+    must round-trip a value to the host instead."""
+    import jax
+    import numpy as np
+
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[:1] if hasattr(leaf, "ravel") else leaf))
+    return out
+
+
+def timeit(fn, iters=3, warmup=1):
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        sync(fn())
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        sync(fn())
         times.append(time.perf_counter() - t0)
     return min(times)
 

@@ -70,12 +70,20 @@ ntt_j = jax.jit(plan.ntt)
 intt_j = jax.jit(plan.intt)
 
 
+def _sync(out):
+    """block_until_ready is a NO-OP over the axon tunnel; force a tiny
+    host readback instead."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[:1]))
+    return out
+
+
 def timeit(fn, *a, iters=3):
-    out = jax.block_until_ready(fn(*a))
+    out = _sync(fn(*a))
     ts = []
     for _ in range(iters):
         t0 = time.monotonic()
-        out = jax.block_until_ready(fn(*a))
+        out = _sync(fn(*a))
         ts.append(time.monotonic() - t0)
     return out, min(ts) * 1e3
 

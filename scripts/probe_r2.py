@@ -42,11 +42,7 @@ reps = n // pool
 px = jnp.asarray(np.tile(np.asarray(px0), (reps, 1)))
 py = jnp.asarray(np.tile(np.asarray(py0), (reps, 1)))
 pinf = jnp.asarray(np.tile(np.asarray(pinf0), reps))
-scalars = jnp.asarray(
-    ints_to_limbs([int(rng.integers(0, FR.p, dtype=np.uint64)) | (int(x) << 64) for x in
-                   [int(rng.integers(0, 1 << 63)) for _ in range(n)]])
-)
-# proper uniform [0, r): build from 4x64-bit draws mod p
+# uniform [0, r): build from 32-byte draws mod p
 vals = [int.from_bytes(rng.bytes(32), "little") % FR.p for _ in range(n)]
 scalars = jnp.asarray(ints_to_limbs(vals))
 
@@ -57,14 +53,22 @@ print(f"n=2^{N_POW}  c={c}  windows={W}", flush=True)
 curve = M._accelerated(G1_CURVE)
 
 
+def _sync(out):
+    """block_until_ready is a NO-OP over the axon tunnel; force a tiny
+    host readback instead."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[:1] if hasattr(leaf, "ravel") else leaf))
+    return out
+
+
 def timeit(name, fn, *args, iters=3):
     t0 = time.perf_counter()
-    out = jax.block_until_ready(fn(*args))
+    out = _sync(fn(*args))
     print(f"  [compile {time.perf_counter()-t0:.1f}s]", end="", flush=True)
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*args))
+        out = _sync(fn(*args))
         ts.append(time.perf_counter() - t0)
     print(f" {name}: {min(ts)*1e3:.2f} ms", flush=True)
     return out
