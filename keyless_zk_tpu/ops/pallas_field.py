@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..fields.limbs import LIMB_BITS, NUM_LIMBS, int_to_limbs
 
 MASK = 0xFFFF  # python literal: pallas kernels cannot capture array constants
-TILE = 1024  # 8 sublanes x 128 lanes
+TILE = 2048  # block width; measured optimum on v5e (280M muls/s vs 124M at 128)
 
 _INTERPRET = False  # flipped by tests on backends without Mosaic support
 

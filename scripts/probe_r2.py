@@ -1,14 +1,17 @@
-"""Round-2 probe: stage-level timing of the fused 2^16 G1 MSM on the chip.
+"""Stage-level timing of the fused G1 MSM on the chip (round-3 pipeline).
 
-Isolates, with one jit each:
-  0. VPU u32-multiply throughput (raw elementwise mult on (16,1024) tiles)
-  1. pure fused-madd kernel throughput
-  2. digit extract + batched sort (all windows in one lax.sort)
-  3. gather (master-table limb-major gather, all windows)
-  4. window_scan pallas kernels alone (pre-sorted inputs)
-  5. bucket scatter (.at[].set) alone
-  6. boundary merge + weighted reduction + horner
-  7. the full msm for reference
+Replicates `_msm_pippenger_fused` (ops/msm.py) stage by stage, each under
+its own jit, with host-readback sync (block_until_ready is a no-op over
+the axon tunnel):
+
+  0. raw u32 multiply throughput (VPU ceiling)
+  1. signed digits + one batched sort (all windows)
+  2. master-table gather (step-major, all windows)
+  3. window_scan pallas kernels (all windows, via lax.map)
+  4. tail: searchsorted + boundary merge + weighted reduction + horner
+  5. FULL msm (the AOT-cached production entry)
+
+Env: N_POW (default 16), SCAN_V (default 1024).
 """
 
 import os, sys, time
@@ -20,19 +23,19 @@ from keyless_zk_tpu.utils.compile_cache import enable_compile_cache
 
 enable_compile_cache()
 
-import functools
 import numpy as np
 import jax, jax.numpy as jnp
 
-from keyless_zk_tpu.curves.jacobian import G1_CURVE, JacPoint
+from keyless_zk_tpu.curves.jacobian import G1_CURVE
 from keyless_zk_tpu.curves import ref_curve
 from keyless_zk_tpu.fields.jax_field import FR
 from keyless_zk_tpu.fields.limbs import NUM_LIMBS, ints_to_limbs
 from keyless_zk_tpu.ops import msm as M
 from keyless_zk_tpu.ops import pallas_msm
-from keyless_zk_tpu.ops.pallas_curve import TILE, _sel
+from keyless_zk_tpu.ops.pallas_ec import sel as _sel
 
 N_POW = int(os.environ.get("N_POW", "16"))
+V = int(os.environ.get("SCAN_V", "1024"))
 n = 1 << N_POW
 rng = np.random.default_rng(42)
 pool = 64
@@ -42,20 +45,20 @@ reps = n // pool
 px = jnp.asarray(np.tile(np.asarray(px0), (reps, 1)))
 py = jnp.asarray(np.tile(np.asarray(py0), (reps, 1)))
 pinf = jnp.asarray(np.tile(np.asarray(pinf0), reps))
-# uniform [0, r): build from 32-byte draws mod p
 vals = [int.from_bytes(rng.bytes(32), "little") % FR.p for _ in range(n)]
 scalars = jnp.asarray(ints_to_limbs(vals))
 
-c = M.msm_window_bits(n)
-W = -(-254 // c)
-print(f"n=2^{N_POW}  c={c}  windows={W}", flush=True)
-
-curve = M._accelerated(G1_CURVE)
+c = M.fused_window_bits(n)
+Wd = V // 8
+L = -(-n // V)
+n_p = V * L
+half = 1 << (c - 1)
+NB = half + 1
+NB_pad = -(-NB // pallas_msm.RV) * pallas_msm.RV
+print(f"n=2^{N_POW}  c={c}  V={V}  L={L}  NB_pad={NB_pad}", flush=True)
 
 
 def _sync(out):
-    """block_until_ready is a NO-OP over the axon tunnel; force a tiny
-    host readback instead."""
     leaf = jax.tree.leaves(out)[0]
     np.asarray(jax.device_get(leaf.ravel()[:1] if hasattr(leaf, "ravel") else leaf))
     return out
@@ -79,6 +82,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 REPS_MUL = 64
+TILE = 2048
+
 
 def _mult_kernel(a_ref, b_ref, o_ref):
     a = a_ref[:]
@@ -99,128 +104,128 @@ def raw_mult(a, b):
     )(a, b)
 
 
-NT = 256
+NT = 128
 big = jnp.asarray(rng.integers(0, 1 << 16, (NUM_LIMBS, NT * TILE)), dtype=jnp.uint32)
-r = timeit(f"raw u32 mult x{REPS_MUL} on (16,{NT*TILE}) [{REPS_MUL*NUM_LIMBS*NT*TILE/1e6:.0f}M mults]",
-           jax.jit(raw_mult), big, big)
-del r
+nmul = REPS_MUL * NUM_LIMBS * NT * TILE
+r = timeit(f"raw u32 mult [{nmul/1e6:.0f}M mults]", jax.jit(raw_mult), big, big)
+del r, big
 
-# ---- 1. fused madd kernel throughput ---------------------------------------
-from keyless_zk_tpu.ops.pallas_curve import madd_pallas
-
-V = 1 << 13
-accp = curve.from_affine(px[:V], py[:V], pinf[:V])
-
-
-@jax.jit
-def madd_loop(acc, qx, qy, qi):
-    def body(i, a):
-        return curve.add_mixed(a, qx, qy, qi)
-    return jax.lax.fori_loop(0, 16, body, acc)
-
-
-timeit(f"fused madd x16 (V={V}; {16*V//1000}k madds)", madd_loop, accp, px[:V], py[:V], pinf[:V])
-
-# ---- 2. extract + sort (batched over windows) ------------------------------
+# ---- 1. signed digits + batched sort ----------------------------------------
+keys0, negs0 = M.extract_digits_signed(scalars, c)
+Wn = keys0.shape[0]
 iota = jax.lax.iota(jnp.int32, n)
+pad = n_p - n
+
 
 @jax.jit
 def extract_sort(scalars):
-    digits = M.extract_digits(scalars, c)  # (W, n)
-    idx = jnp.broadcast_to(iota, (W, n))
-    keys, order = jax.lax.sort((digits, idx), num_keys=1, is_stable=True, dimension=1)
-    return keys, order
+    keys, negs = M.extract_digits_signed(scalars, c)
+    payload = jnp.broadcast_to(iota, (Wn, n)) | (negs << 30)
+    if pad:
+        keys = jnp.concatenate([jnp.full((Wn, pad), -1, jnp.int32), keys], axis=1)
+        payload = jnp.concatenate([jnp.full((Wn, pad), n, jnp.int32), payload], axis=1)
+    return jax.lax.sort((keys, payload), num_keys=1, is_stable=True, dimension=1)
 
 
-keys, order = timeit("extract + batched sort (all windows)", extract_sort, scalars)
+keys_s, pay_s = timeit("digits + batched sort (all windows)", extract_sort, scalars)
 
-# ---- 3. gather -------------------------------------------------------------
-pxm = jnp.concatenate([px, jnp.zeros((1, NUM_LIMBS), px.dtype)]).T
-pym = jnp.concatenate([py, jnp.zeros((1, NUM_LIMBS), py.dtype)]).T
-
-
-@jax.jit
-def gather(order):
-    gx = pxm[:, order.reshape(-1)]
-    gy = pym[:, order.reshape(-1)]
-    return gx, gy
-
-
-gx, gy = timeit("gather all windows (limb-major)", gather, order)
-
-# ---- 4. scan kernels alone --------------------------------------------------
-L = n // TILE
+# ---- 2. gather (step-major, all windows) ------------------------------------
+zrow = jnp.zeros((1, NUM_LIMBS), jnp.uint32)
+pxm = jnp.concatenate([px, zrow]).T
+pym = jnp.concatenate([py, zrow]).T
 pinf_ext = jnp.concatenate([pinf, jnp.ones((1,), bool)])
 
 
 @jax.jit
-def scans(keys, order, gx, gy):
+def gather(pay_s):
+    idx = pay_s & ((1 << 30) - 1)
+    ord_sm = idx.reshape(Wn, V, L).transpose(0, 2, 1).reshape(Wn, n_p)
+    gx = pxm[:, ord_sm.reshape(-1)].reshape(NUM_LIMBS, Wn, n_p)
+    gy = pym[:, ord_sm.reshape(-1)].reshape(NUM_LIMBS, Wn, n_p)
+    return gx, gy, ord_sm
+
+
+gx, gy, ord_sm = timeit("gather all windows (limb-major)", gather, pay_s)
+
+# ---- 3. window_scan kernels (all windows) ------------------------------------
+@jax.jit
+def scans(keys_s, pay_s, gx, gy):
     def one(args):
-        k, o, x, y = args
-        flat = o.reshape(TILE, L).T.reshape(1, n)
-        km = k.reshape(TILE, L).T.reshape(1, n)
-        ginf = pinf_ext[flat] | (km == 0)
-        # x,y already gathered in sorted order; need step-major relayout
-        xs = x.reshape(NUM_LIMBS, TILE, L).transpose(0, 2, 1).reshape(NUM_LIMBS, n)
-        ys = y.reshape(NUM_LIMBS, TILE, L).transpose(0, 2, 1).reshape(NUM_LIMBS, n)
-        return pallas_msm.window_scan(km, xs, ys, ginf)
+        kw, pw, x, y = args
+        neg = (pw >> 30) & 1
+        o = pw & ((1 << 30) - 1)
+        osm = o.reshape(V, L).T.reshape(n_p)
+        ksm = kw.reshape(V, L).T.reshape(n_p)
+        nsm = neg.reshape(V, L).T.reshape(n_p)
+        inf_sm = pinf_ext[osm] | (ksm == 0)
+        flags = inf_sm.astype(jnp.int32) | (nsm << 1)
+        return pallas_msm.window_scan(
+            "fq",
+            ksm.reshape(L, 8, Wd),
+            flags.reshape(L, 8, Wd),
+            x.reshape(NUM_LIMBS, L, 8, Wd),
+            y.reshape(NUM_LIMBS, L, 8, Wd),
+            V=V,
+            assume_distinct=True,
+        )
 
-    return jax.lax.map(one, (keys, order,
-                             gx.reshape(NUM_LIMBS, W, n).transpose(1, 0, 2),
-                             gy.reshape(NUM_LIMBS, W, n).transpose(1, 0, 2)))
+    return jax.lax.map(
+        one, (keys_s, pay_s, gx.transpose(1, 0, 2), gy.transpose(1, 0, 2))
+    )
 
 
-outs = timeit("window_scan kernels (all windows)", scans, keys, order, gx, gy)
-(ekey, ex, ey, ez, hkey, hx, hy, hz, tkey, tx, ty, tz) = outs
+outs = timeit("window_scan (all windows)", scans, keys_s, pay_s, gx, gy)
 
-# ---- 5. bucket scatter ------------------------------------------------------
-n_buckets = max(1 << c, 128)
-stride = n_buckets + 1
-DUMP = n_buckets
-win_id = jnp.arange(W, dtype=jnp.int32)
-base = (win_id * stride)[:, None, None]
+# ---- 4. tail: searchsorted + merge + weighted + horner -----------------------
+bvals = jax.lax.iota(jnp.int32, NB_pad)
 
 
 @jax.jit
-def scatter(ekey, ex, ey, ez):
-    bx = jnp.zeros((NUM_LIMBS, W * stride), jnp.uint32)
-    eidx = (base + _sel(ekey >= 0, ekey, DUMP)).reshape(-1)
+def tail(keys_s, outs):
+    def one(args):
+        kw, ex, ey, ez, hk, hx, hy, hz, tk, tx, ty, tz = args
+        R = NUM_LIMBS
+        bkeys = jnp.stack([hk.reshape(V), tk.reshape(V)], axis=1).reshape(2 * V)
+        bkeys = jax.lax.cummax(bkeys)
 
-    def flat_e(a):
-        return a.transpose(1, 0, 2).reshape(NUM_LIMBS, -1)
+        def inter(h, t):
+            return jnp.stack([h.reshape(R, V), t.reshape(R, V)], axis=2).reshape(R, 2 * V)
 
-    bx = bx.at[:, eidx].set(flat_e(ex))
-    by = jnp.zeros_like(bx).at[:, eidx].set(flat_e(ey))
-    bz = jnp.zeros_like(bx).at[:, eidx].set(flat_e(ez))
-    return bx, by, bz
+        mx, my, mz = pallas_msm.boundary_merge(
+            "fq", bkeys[None], inter(hx, tx)[None], inter(hy, ty)[None], inter(hz, tz)[None]
+        )
+        mx, my, mz = mx[0], my[0], mz[0]
+        starts = M._searchsorted(kw, bvals)
+        ends = M._searchsorted(kw, bvals + 1) - 1
+        interior = (
+            (ends >= starts)
+            & (starts // L == ends // L)
+            & (starts % L != 0)
+            & (ends % L != L - 1)
+        )
+        col = _sel(interior, (ends % L + 1) * V + ends // L, 0)
+        lpos = jnp.minimum(M._searchsorted(bkeys, bvals), 2 * V - 1)
+        has = (bkeys[lpos] == bvals) & ~interior
+        eflat = ex.reshape(R, n_p), ey.reshape(R, n_p), ez.reshape(R, n_p)
+        outs_ = []
+        im = interior[None, :]
+        hm = has[None, :]
+        for e, mm in zip(eflat, (mx, my, mz)):
+            outs_.append(_sel(im, e[:, col], _sel(hm, mm[:, lpos], jnp.uint32(0))))
+        return tuple(outs_)
 
-
-bx, by, bz = timeit("bucket scatter (.at[].set x3)", scatter, ekey, ex, ey, ez)
-
-# ---- 6. merge + reduction + horner -----------------------------------------
-@jax.jit
-def tail(bx, by, bz, hkey, hx, hy, hz, tkey, tx, ty, tz):
-    bkeys = jnp.stack([hkey.reshape(W, TILE), tkey.reshape(W, TILE)], axis=2).reshape(W, 2 * TILE)
-
-    def interleave(h, t):
-        return jnp.stack([h.reshape(W, NUM_LIMBS, TILE), t.reshape(W, NUM_LIMBS, TILE)], axis=3).reshape(W, NUM_LIMBS, 2 * TILE)
-
-    bkeys = jax.lax.cummax(bkeys, axis=1)
-    mx, my, mz = pallas_msm.boundary_merge(bkeys, interleave(hx, tx), interleave(hy, ty), interleave(hz, tz))
-    leader = jnp.concatenate([jnp.ones((W, 1), bool), bkeys[:, 1:] != bkeys[:, :-1]], axis=1)
-    bidx = (base[:, 0] + _sel(leader & (bkeys > 0), bkeys, DUMP)).reshape(-1)
-    bx = bx.at[:, bidx].set(mx.transpose(1, 0, 2).reshape(NUM_LIMBS, -1))
-    by = by.at[:, bidx].set(my.transpose(1, 0, 2).reshape(NUM_LIMBS, -1))
-    bz = bz.at[:, bidx].set(mz.transpose(1, 0, 2).reshape(NUM_LIMBS, -1))
-
-    def per_window(a):
-        return a.reshape(NUM_LIMBS, W, stride).transpose(1, 0, 2)[:, :, :n_buckets]
-
-    wx, wy, wz = pallas_msm.weighted_bucket_total(per_window(bx), per_window(by), per_window(bz))
-    return pallas_msm.horner_total(wx, wy, wz, c)
+    (ex, ey, ez, hk, hx, hy, hz, tk, tx, ty, tz) = outs
+    dxs, dys, dzs = jax.lax.map(one, (keys_s, ex, ey, ez, hk, hx, hy, hz, tk, tx, ty, tz))
+    wx, wy, wz = pallas_msm.weighted_bucket_total("fq", dxs, dys, dzs)
+    return pallas_msm.horner_total("fq", wx, wy, wz, c)
 
 
-timeit("merge + weighted reduction + horner", tail, bx, by, bz, hkey, hx, hy, hz, tkey, tx, ty, tz)
+# window_scan returns emit keys first; rebuild the tuple for tail
+timeit("tail (merge+buckets+horner)", tail, keys_s, outs)
 
-# ---- 7. full msm -----------------------------------------------------------
-timeit("FULL msm", lambda a, b, c2, d: M.msm(a, b, c2, d, curve=G1_CURVE), px, py, pinf, scalars)
+# ---- 5. full msm --------------------------------------------------------------
+timeit(
+    "FULL msm (AOT path)",
+    lambda a, b, c2, d: M.msm(a, b, c2, d, curve=G1_CURVE, scan_v=V),
+    px, py, pinf, scalars,
+)
