@@ -162,8 +162,10 @@ def main() -> int:
     from keyless_zk_tpu.curves.jacobian import G1_CURVE, G2_CURVE
     from keyless_zk_tpu.fields import jax_field as jf
     from keyless_zk_tpu.fields.jax_field import FR
+    from keyless_zk_tpu.groth16.prover import Groth16Prover
     from keyless_zk_tpu.ops.msm import msm
-    from keyless_zk_tpu.ops.ntt import get_plan
+
+    get_plan = Groth16Prover._pick_plan  # MXU matmul NTT on TPU
     from keyless_zk_tpu.ops.testgen import random_points, random_scalars
 
     quick = os.environ.get("BENCH_QUICK") == "1"

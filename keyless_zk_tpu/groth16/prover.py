@@ -86,7 +86,7 @@ class Groth16Prover:
         self.domain_pow = (pk.domain_size - 1).bit_length()
         if (1 << self.domain_pow) != pk.domain_size:
             raise ValueError("domain size must be a power of two")
-        self.plan = get_plan(self.domain_pow)
+        self.plan = self._pick_plan(self.domain_pow)
 
         dev = jnp.asarray
         self.points_a = (dev(pk.points_a.x), dev(pk.points_a.y), dev(pk.points_a.inf))
@@ -111,6 +111,23 @@ class Groth16Prover:
         # destination index in the doubled (m, c) key space: m*domain + c
         self.coef_dest = dev((pk.coef_m.astype(np.int64) * pk.domain_size + pk.coef_c).astype(np.int32))
         self.coset = self.plan.coset_powers()
+
+    @staticmethod
+    def _pick_plan(domain_pow: int):
+        """On real TPUs with a radix-128-decomposable domain, use the MXU
+        matmul NTT (12.7x the butterfly transform at 2^21 on v5e — see
+        ops/mxu_ntt.py); the butterfly plan everywhere else."""
+        import os
+
+        if (
+            jax.default_backend() == "tpu"
+            and domain_pow >= 7
+            and os.environ.get("KEYLESS_NO_PALLAS") != "1"
+        ):
+            from ..ops.mxu_ntt import get_mxu_plan
+
+            return get_mxu_plan(domain_pow)
+        return get_plan(domain_pow)
 
     # ---- device phases -------------------------------------------------
 
