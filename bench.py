@@ -1,11 +1,24 @@
-"""Benchmark suite for the TPU Groth16 stack (BASELINE.md configs[1]).
+"""Benchmark suite for the TPU Groth16 stack (BASELINE.md configs[1-4]).
 
-Structured to survive driver timeouts (round-2 lesson): the headline metric
-is measured FIRST and printed the moment it is known; every other metric runs
-under its own watchdog thread with a per-metric budget; BENCH_LOCAL.json is
-flushed after every metric; and the headline line is re-printed after each
-metric so the LAST complete JSON line is (almost) always the headline even if
-the process is killed mid-run.
+Round-4 structure (fixes the round-2/3 rc=124 truncations):
+
+- ONE global deadline (BENCH_BUDGET_S, default 2100 s) governs the whole
+  run; every metric's watchdog is clamped to the time remaining, so the
+  process always finishes and exits 0 inside the driver window instead of
+  being killed mid-metric.
+- metrics run in importance order: headline MSM first, then the flagship
+  full keyless proof (UNGATED — the round-3 BENCH_FULL env gate meant the
+  driver could never record it), then the large MSMs, NTTs, micro-ops, and
+  batch throughput.
+- bench inputs (random points/scalars) are generated once and disk-cached
+  under ~/.cache/keyless_zk_tpu/bench/, OUTSIDE any metric watchdog — the
+  round-3 G2 timeout was point *generation* (254-step double-and-add)
+  burning the measurement budget, not the MSM.
+- after any watchdog timeout the TPU may still be running the abandoned
+  computation, so all subsequent records carry "tainted": true (advisor
+  round-3 finding on guarded()).
+- the headline JSON line prints when measured and once more at the very
+  end (round-3 artifacts were six duplicate headline lines deep).
 
 Anchors for vs_baseline derive from the reference profile (SURVEY §6): a
 rapidsnark-class 16-core CPU proves the full 1.38M-constraint circuit in
@@ -16,10 +29,10 @@ single-digit seconds. Decomposing that profile (4x 1.34M-point G1/G2 MSMs +
   msm_g2_2^16  ~300 ms      (G2 ~3x G1, multiexp.cpp:311-312)
   ntt_2^16     ~4 ms        ntt_2^21      ~125 ms
   mont_mul     ~1.0e9/s     (16 cores x ~65M 254-bit Montgomery muls/s)
-  full proof   ~3 s
+  full proof   ~3 s         (fullprover.cpp:226-244 per-proof ms)
 
-Env knobs: BENCH_QUICK=1 -> headline only; BENCH_FULL=1 -> adds the full
-keyless proof (long first-compile).
+Env knobs: BENCH_QUICK=1 -> headline only; BENCH_SKIP_FULL=1 -> skip the
+full keyless proof; BENCH_BUDGET_S=<seconds> -> global deadline.
 """
 
 from __future__ import annotations
@@ -32,8 +45,11 @@ import time
 import traceback
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
+POINT_CACHE = os.path.expanduser("~/.cache/keyless_zk_tpu/bench")
 RESULTS = []
-HEADLINE = [None]  # mutable slot; re-printed after every later metric
+HEADLINE = [None]
+TAINTED = [False]  # set after any watchdog timeout
+DEADLINE = [None]  # absolute monotonic deadline for the whole bench
 
 
 def _flush_local():
@@ -69,35 +85,46 @@ def timeit(fn, iters=3, warmup=1):
     return min(times)
 
 
-def emit(metric, value, unit, baseline, headline=False):
+def emit(metric, value, unit, baseline, headline=False, **extra):
     rec = {
         "metric": metric,
         "value": round(value, 3),
         "unit": unit,
         "vs_baseline": round(baseline / value, 3) if baseline else None,
     }
+    if TAINTED[0]:
+        rec["tainted"] = True
+    rec.update(extra)
     RESULTS.append(rec)
     _flush_local()
     print(json.dumps(rec), flush=True)
     if headline:
         HEADLINE[0] = rec
-    elif HEADLINE[0] is not None:
-        # keep the headline as the last complete line at any truncation point
-        print(json.dumps(HEADLINE[0]), flush=True)
     return rec
 
 
 def emit_error(metric, err):
     rec = {"metric": metric, "error": str(err)[:300], "value": None, "unit": None, "vs_baseline": None}
+    if TAINTED[0]:
+        rec["tainted"] = True
     RESULTS.append(rec)
     _flush_local()
     print(json.dumps(rec), flush=True)
-    if HEADLINE[0] is not None:
-        print(json.dumps(HEADLINE[0]), flush=True)
+
+
+def remaining() -> float:
+    return DEADLINE[0] - time.monotonic()
 
 
 def guarded(metric, budget_s, fn):
-    """Run fn() in a watchdog thread; on timeout/exception, record and move on."""
+    """Run fn() under a watchdog clamped to the global deadline.
+
+    On timeout: record the miss, mark the rest of the run tainted (the
+    abandoned daemon thread may still hold the chip), move on."""
+    budget = min(budget_s, remaining())
+    if budget < 30:
+        emit_error(metric, f"skipped: global budget exhausted ({remaining():.0f}s left)")
+        return False
     box = {}
 
     def run():
@@ -109,9 +136,10 @@ def guarded(metric, budget_s, fn):
 
     t = threading.Thread(target=run, daemon=True)
     t.start()
-    t.join(budget_s)
+    t.join(budget)
     if t.is_alive():
-        emit_error(metric, f"watchdog timeout after {budget_s}s")
+        emit_error(metric, f"watchdog timeout after {budget:.0f}s")
+        TAINTED[0] = True
         return False
     if "err" in box:
         emit_error(metric, box["err"].strip().splitlines()[-1])
@@ -135,7 +163,35 @@ def _probe_backend(timeout_s: float = 600.0):
     return out.get("devices")
 
 
+def cached_points(n: int, seed: int, g2: bool = False):
+    """Random affine points, generated once per (n, curve) and disk-cached.
+
+    Generation (a 254-step on-device double-and-add, ops/testgen.py) costs
+    more than the measurement at G2/2^20 sizes; it must never run inside a
+    metric watchdog twice."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from keyless_zk_tpu.curves.jacobian import G1_CURVE, G2_CURVE
+    from keyless_zk_tpu.ops.testgen import random_points
+
+    tag = "g2" if g2 else "g1"
+    path = os.path.join(POINT_CACHE, f"points_{tag}_{n}_s{seed}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return jnp.asarray(z["x"]), jnp.asarray(z["y"]), jnp.asarray(z["inf"])
+    px, py, pinf = random_points(n, seed=seed, curve=G2_CURVE if g2 else G1_CURVE)
+    os.makedirs(POINT_CACHE, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, x=np.asarray(px), y=np.asarray(py), inf=np.asarray(pinf))
+    os.replace(tmp, path)
+    return px, py, pinf
+
+
 def main() -> int:
+    DEADLINE[0] = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S", "2100"))
+
     from keyless_zk_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
@@ -164,98 +220,124 @@ def main() -> int:
     from keyless_zk_tpu.fields.jax_field import FR
     from keyless_zk_tpu.groth16.prover import Groth16Prover
     from keyless_zk_tpu.ops.msm import msm
+    from keyless_zk_tpu.ops.testgen import random_scalars
 
     get_plan = Groth16Prover._pick_plan  # MXU matmul NTT on TPU
-    from keyless_zk_tpu.ops.testgen import random_points, random_scalars
 
     quick = os.environ.get("BENCH_QUICK") == "1"
-    full = os.environ.get("BENCH_FULL") == "1"
+    skip_full = os.environ.get("BENCH_SKIP_FULL") == "1"
 
-    # ---- MSM 2^16 G1 (headline — measured and printed FIRST) ---------------
+    # ---- 1. MSM 2^16 G1 (headline — measured and printed FIRST) ------------
     n = 1 << 16
-    px, py, pinf = random_points(n, seed=42)
+    px, py, pinf = cached_points(n, seed=42)
     scalars = random_scalars(n, seed=43)
     jax.block_until_ready((px, py, scalars))
 
     t = timeit(lambda: msm(px, py, pinf, scalars, curve=G1_CURVE))
     emit("msm_g1_2^16", t * 1e3, "ms", 100.0, headline=True)
 
-    if not quick:
-        # ---- mont_mul throughput ------------------------------------------
-        def mont_mul_bench():
-            m = 1 << 22
-            a = random_scalars(m, seed=1).reshape(m, 16)
-            b = random_scalars(m, seed=2).reshape(m, 16)
-            jax.block_until_ready((a, b))
-            mm = jax.jit(lambda x, y: jf.mont_mul(x, y, FR))
-            tm = timeit(lambda: mm(a, b))
-            gops = m / tm / 1e9
-            rec = emit("mont_mul_fr", gops, "Gops/s", None)
-            rec["vs_baseline"] = round(gops / 1.0, 3)  # anchor: ~1e9 muls/s, 16 cores
-            _flush_local()
+    if quick:
+        print(json.dumps(HEADLINE[0]), flush=True)
+        _flush_local()
+        return 0
 
-        guarded("mont_mul_fr", 420, mont_mul_bench)
-
-        # ---- EC mixed add throughput --------------------------------------
-        def ec_madd_bench():
-            acc = G1_CURVE.from_affine(px, py, pinf)
-            madd = jax.jit(lambda p, x, y, i: G1_CURVE.add_mixed(p, x, y, i))
-            te = timeit(lambda: madd(acc, px, py, pinf))
-            emit("ec_madd_g1", n / te / 1e6, "Mops/s", None)
-
-        guarded("ec_madd_g1", 300, ec_madd_bench)
-
-        # ---- NTT 2^16 ------------------------------------------------------
-        def ntt16_bench():
-            plan16 = get_plan(16)
-            poly = random_scalars(1 << 16, seed=3)
-            ntt16 = jax.jit(plan16.ntt)
-            tn = timeit(lambda: ntt16(poly))
-            emit("ntt_2^16", tn * 1e3, "ms", 4.0)
-
-        guarded("ntt_2^16", 420, ntt16_bench)
-
-        # ---- NTT 2^21 (production domain) ---------------------------------
-        def ntt21_bench():
-            plan21 = get_plan(21)
-            poly21 = random_scalars(1 << 21, seed=4)
-            ntt21 = jax.jit(plan21.ntt)
-            tn21 = timeit(lambda: ntt21(poly21), iters=2)
-            emit("ntt_2^21", tn21 * 1e3, "ms", 125.0)
-
-        guarded("ntt_2^21", 600, ntt21_bench)
-
-        # ---- MSM 2^16 G2 ---------------------------------------------------
-        def g2_bench():
-            qx, qy, qinf = random_points(n, seed=44, curve=G2_CURVE)
-            jax.block_until_ready(qx)
-            tg2 = timeit(lambda: msm(qx, qy, qinf, scalars, curve=G2_CURVE), iters=2)
-            emit("msm_g2_2^16", tg2 * 1e3, "ms", 300.0)
-
-        guarded("msm_g2_2^16", 600, g2_bench)
-
-        # ---- MSM 2^20 G1 ---------------------------------------------------
-        def g1_20_bench():
-            n20 = 1 << 20
-            px20, py20, pinf20 = random_points(n20, seed=45)
-            sc20 = random_scalars(n20, seed=46)
-            jax.block_until_ready(px20)
-            t20 = timeit(lambda: msm(px20, py20, pinf20, sc20, curve=G1_CURVE), iters=2)
-            emit("msm_g1_2^20", t20 * 1e3, "ms", 1600.0)
-
-        guarded("msm_g1_2^20", 600, g1_20_bench)
-
-    if full:
+    # ---- 2. full keyless proof (THE flagship; BASELINE configs[3]) ---------
+    if not skip_full:
         def full_bench():
             sys.path.insert(0, _REPO)
             from scripts.full_prove_tpu import run_full_prove
 
-            res = run_full_prove(config="full")
-            emit("full_keyless_proof", res["prove_ms"], "ms", 3000.0)
+            res = run_full_prove(config="full", repeat=2)
+            emit(
+                "full_keyless_proof",
+                res["prove_ms"],
+                "ms",
+                3000.0,
+                phases=res.get("phases"),
+                cold_ms=res.get("cold_ms"),
+            )
 
-        guarded("full_keyless_proof", 3000, full_bench)
+        guarded("full_keyless_proof", 1500, full_bench)
 
-    # final line: the headline, again
+    # ---- 3. MSM 2^20 G1 (H-polynomial scale, groth16.cpp:281-286) ----------
+    def g1_20_bench():
+        n20 = 1 << 20
+        px20, py20, pinf20 = cached_points(n20, seed=45)
+        sc20 = random_scalars(n20, seed=46)
+        jax.block_until_ready((px20, sc20))
+        t20 = timeit(lambda: msm(px20, py20, pinf20, sc20, curve=G1_CURVE), iters=2)
+        emit("msm_g1_2^20", t20 * 1e3, "ms", 1600.0)
+
+    guarded("msm_g1_2^20", 600, g1_20_bench)
+
+    # ---- 4. MSM 2^16 G2 (B2, groth16.cpp:85-112) ----------------------------
+    def g2_bench():
+        qx, qy, qinf = cached_points(n, seed=44, g2=True)
+        jax.block_until_ready(qx)
+        tg2 = timeit(lambda: msm(qx, qy, qinf, scalars, curve=G2_CURVE), iters=2)
+        emit("msm_g2_2^16", tg2 * 1e3, "ms", 300.0)
+
+    guarded("msm_g2_2^16", 600, g2_bench)
+
+    # ---- 5/6. NTT (fft.cpp:191-246 at per-proof domains) --------------------
+    def ntt16_bench():
+        plan16 = get_plan(16)
+        poly = random_scalars(1 << 16, seed=3)
+        ntt16 = jax.jit(plan16.ntt)
+        tn = timeit(lambda: ntt16(poly))
+        emit("ntt_2^16", tn * 1e3, "ms", 4.0)
+
+    guarded("ntt_2^16", 300, ntt16_bench)
+
+    def ntt21_bench():
+        plan21 = get_plan(21)
+        poly21 = random_scalars(1 << 21, seed=4)
+        ntt21 = jax.jit(plan21.ntt)
+        tn21 = timeit(lambda: ntt21(poly21), iters=2)
+        emit("ntt_2^21", tn21 * 1e3, "ms", 125.0)
+
+    guarded("ntt_2^21", 420, ntt21_bench)
+
+    # ---- 7/8. micro-ops ------------------------------------------------------
+    def mont_mul_bench():
+        m = 1 << 22
+        a = random_scalars(m, seed=1).reshape(m, 16)
+        b = random_scalars(m, seed=2).reshape(m, 16)
+        jax.block_until_ready((a, b))
+        mm = jax.jit(lambda x, y: jf.mont_mul(x, y, FR))
+        tm = timeit(lambda: mm(a, b))
+        gops = m / tm / 1e9
+        rec = emit("mont_mul_fr", gops, "Gops/s", None)
+        rec["vs_baseline"] = round(gops / 1.0, 3)  # anchor: ~1e9 muls/s, 16 cores
+        _flush_local()
+
+    guarded("mont_mul_fr", 300, mont_mul_bench)
+
+    def ec_madd_bench():
+        acc = G1_CURVE.from_affine(px, py, pinf)
+        madd = jax.jit(lambda p, x, y, i: G1_CURVE.add_mixed(p, x, y, i))
+        te = timeit(lambda: madd(acc, px, py, pinf))
+        emit("ec_madd_g1", n / te / 1e6, "Mops/s", None)
+
+    guarded("ec_madd_g1", 240, ec_madd_bench)
+
+    # ---- 9. batched prover throughput (BASELINE configs[4]) -----------------
+    def batch_bench():
+        sys.path.insert(0, _REPO)
+        from scripts.bench_batch_tpu import run_batch_bench
+
+        res = run_batch_bench()
+        emit(
+            "proofs_per_sec",
+            res["proofs_per_sec"],
+            "proofs/s",
+            None,
+            batch=res.get("batch"),
+        )
+
+    guarded("proofs_per_sec", 600, batch_bench)
+
+    # final line: the headline, once
     if HEADLINE[0] is not None:
         print(json.dumps(HEADLINE[0]), flush=True)
     _flush_local()

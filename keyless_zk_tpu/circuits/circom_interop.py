@@ -200,12 +200,24 @@ def witness_from_input_json(
     try:
         prog = _cached_program(r1cs, r1cs_path)
         return np.array(prog.compute_ints(known), dtype=object)
-    except ValueError:
+    except (ValueError, RuntimeError):
+        # ValueError: the compiler hit an unknown hint pattern.
+        # RuntimeError: the *compiled program* failed at runtime (e.g. an
+        # OP_DIVSUB zero divisor, witness_engine.py) — the Python solver
+        # handles these inputs, so fall back rather than crash the request.
         return solve_witness(r1cs, known)
 
 
+_FAILED_COMPILES: set[str] = set()
+
+
 def _cached_program(r1cs: R1CS, r1cs_path: str):
-    """Compile-once cache keyed by the r1cs file's content hash."""
+    """Compile-once cache keyed by the r1cs file's content hash.
+
+    Compile *failures* are negative-cached per digest for the process
+    lifetime: without this, a circuit whose compile raises pays the full
+    compile cost (~80 s at 1M constraints) on every request before falling
+    back to the Python solver."""
     import hashlib
     import os
 
@@ -213,6 +225,8 @@ def _cached_program(r1cs: R1CS, r1cs_path: str):
 
     with open(r1cs_path, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    if digest in _FAILED_COMPILES:
+        raise ValueError(f"witness compile previously failed for {digest}")
     root = os.path.join(os.path.expanduser("~"), ".cache", "keyless_zk_tpu")
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, f"circom_witprog_{digest}.npz")
@@ -221,7 +235,11 @@ def _cached_program(r1cs: R1CS, r1cs_path: str):
             return CircomWitnessProgram.load(r1cs, path)
         except Exception:
             pass  # stale/corrupt: recompile
-    prog = CircomWitnessProgram(r1cs)
+    try:
+        prog = CircomWitnessProgram(r1cs)
+    except ValueError:
+        _FAILED_COMPILES.add(digest)
+        raise
     try:
         prog.save(path)
     except Exception:

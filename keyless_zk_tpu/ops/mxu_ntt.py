@@ -280,9 +280,14 @@ def _transform_jit(x, perm, factors, tables):
 
 
 class MxuNTTPlan:
-    """Drop-in alternative to ops.ntt.NTTPlan built on matmul passes."""
+    """Drop-in alternative to ops.ntt.NTTPlan built on matmul passes.
 
-    def __init__(self, domain_pow: int):
+    Plans are disk-cached per domain_pow (mirroring NTTPlan's npz cache):
+    building the 2^21 plan costs ~33 s of host+device time (127 sequential
+    twiddle-row mont_muls per radix-128 pass), which every fresh prover
+    process would otherwise repay."""
+
+    def __init__(self, domain_pow: int, cache: bool = True):
         if domain_pow > bn254.TWO_ADICITY:
             raise ValueError("domain size too big for the curve")
         self.domain_pow = domain_pow
@@ -292,9 +297,73 @@ class MxuNTTPlan:
         w_inv = pow(w, -1, P_INT)
         self.n_inv_mont = jf.encode_ints([pow(self.n, -1, P_INT)], FR, mont=True)[0]
         self.perm = jnp.asarray(digit_reverse_perm(self.factors))
+        self._coset = None
+        if cache and self._load_cached():
+            return
         self.tables = self._build(w)
         self.tables_inv = self._build(w_inv)
-        self._coset = None
+        if cache:
+            self._save_cache()
+
+    def _cache_path(self) -> str:
+        import os
+
+        root = os.path.join(os.path.expanduser("~"), ".cache", "keyless_zk_tpu")
+        os.makedirs(root, exist_ok=True)
+        return os.path.join(root, f"mxu_ntt_plan_{self.domain_pow}.npz")
+
+    def _load_cached(self) -> bool:
+        import os
+
+        path = self._cache_path()
+        if not os.path.exists(path):
+            return False
+        try:
+            z = np.load(path, allow_pickle=False)
+            if list(z["factors"]) != self.factors:
+                return False
+
+            def load(prefix):
+                passes = []
+                for i in range(len(self.factors)):
+                    tw = (
+                        jnp.asarray(z[f"{prefix}tw{i}"])
+                        if f"{prefix}tw{i}" in z.files
+                        else None
+                    )
+                    passes.append(
+                        (
+                            jnp.asarray(z[f"{prefix}wb{i}"]),
+                            jnp.asarray(z[f"{prefix}rs{i}"]),
+                            tw,
+                        )
+                    )
+                return passes
+
+            self.tables = load("f")
+            self.tables_inv = load("i")
+            return True
+        except Exception:
+            return False  # corrupt/stale: rebuild
+
+    def _save_cache(self) -> None:
+        import os
+
+        arrays = {"factors": np.asarray(self.factors)}
+        for prefix, tables in (("f", self.tables), ("i", self.tables_inv)):
+            for i, (wb, rs, tw) in enumerate(tables):
+                arrays[f"{prefix}wb{i}"] = np.asarray(wb)
+                arrays[f"{prefix}rs{i}"] = np.asarray(rs)
+                if tw is not None:
+                    arrays[f"{prefix}tw{i}"] = np.asarray(tw)
+        path = self._cache_path()
+        tmp = f"{path}.tmp{os.getpid()}"
+        try:
+            with open(tmp, "wb") as f:
+                np.savez(f, **arrays)
+            os.replace(tmp, path)
+        except OSError:
+            pass  # caching is best-effort
 
     def _build(self, w: int):
         """Per pass: (W byte planes s8, W plane rowsums, twiddle (r, m, 16))."""

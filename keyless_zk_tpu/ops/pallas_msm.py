@@ -287,7 +287,7 @@ def _row_roll_dyn(x, q):
     static sublane rotations (Mosaic's dynamic rotate is lane-axis only)."""
     rows = x.shape[0]
     for b in range((rows - 1).bit_length()):
-        x = sel((q >> b) & 1 == 1, _row_roll(x, 1 << b), x)
+        x = sel(((q >> b) & 1) == 1, _row_roll(x, 1 << b), x)
     return x
 
 

@@ -14,13 +14,17 @@ milliseconds and goes straight to XLA compile — which then also hits the
 persistent compile cache, because the module bytes (and thus the cache key)
 are identical across processes by construction.
 
-Keying: name + jax version + platform + abstract arg signature + an explicit
-`version` salt callers bump when kernel code changes semantics. Stale entries
-are harmless (orphaned files), wrong entries are prevented by the salt.
+Keying: name + jax version + platform + abstract arg signature (incl. pytree
+structure) + a content hash of the kernel source modules + an explicit
+`version` salt. The source hash means any edit to the compute-path modules
+auto-invalidates every entry — a hand-bumped salt alone silently replayed
+stale compiled graphs across processes (round-3 advisor finding). Stale
+entries are harmless (orphaned files).
 """
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 import threading
@@ -65,12 +69,31 @@ def _platform() -> str:
 def _sig_of(args, kwargs) -> str:
     import jax
 
-    leaves = jax.tree.leaves((args, kwargs))
+    leaves, treedef = jax.tree.flatten((args, kwargs))
     parts = []
     for leaf in leaves:
         aval = jax.api_util.shaped_abstractify(leaf)
-        parts.append(f"{aval.dtype}{list(aval.shape)}")
-    return ",".join(parts)
+        parts.append(f"{aval.dtype}{list(aval.shape)}{aval.weak_type}")
+    return ",".join(parts) + "/" + str(treedef)
+
+
+@functools.lru_cache(maxsize=1)
+def _source_hash() -> str:
+    """Content hash of every compute-path module an exported graph can
+    capture; a code edit anywhere in them invalidates all entries."""
+    import keyless_zk_tpu
+
+    pkg = os.path.dirname(keyless_zk_tpu.__file__)
+    h = hashlib.sha256()
+    for sub in ("fields", "curves", "ops", "groth16", "parallel"):
+        root = os.path.join(pkg, sub)
+        for dirpath, _, files in sorted(os.walk(root)):
+            for fname in sorted(files):
+                if fname.endswith(".py"):
+                    with open(os.path.join(dirpath, fname), "rb") as f:
+                        h.update(fname.encode())
+                        h.update(f.read())
+    return h.hexdigest()[:16]
 
 
 def aot_call(name: str, version: int, fn, *args, **kwargs):
@@ -89,6 +112,7 @@ def aot_call(name: str, version: int, fn, *args, **kwargs):
             str(version),
             jax.__version__,
             _platform(),
+            _source_hash(),
             _sig_of(args, kwargs),
         ]
     )

@@ -26,17 +26,18 @@ enable_compile_cache()
 TOY = "/root/reference/prover-service/resources/toy_circuit/"
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=32)
-    ap.add_argument("--config", default="toy", choices=["toy", "small", "full"])
-    args = ap.parse_args()
+def run_batch_bench(config: str = "toy", iters: int = 32, batches=(1, 4, 8)) -> dict:
+    """Proofs/sec through the BatchProver; returns the best batch point.
 
+    {"proofs_per_sec": best, "batch": best_bsz, "results": [per-batch dicts]}.
+    The reference cannot batch at all — its FullProver sits behind a global
+    mutex (prover-service prover_state.rs:21), so any >1 batch win here is
+    structural."""
     from keyless_zk_tpu.fields.limbs import ints_to_limbs, limbs_to_ints
     from keyless_zk_tpu.groth16 import Groth16Prover, load_wtns, load_zkey
     from keyless_zk_tpu.parallel.batch_prover import BatchProver
 
-    if args.config == "toy":
+    if config == "toy":
         pk = load_zkey(TOY + "toy_1.zkey")
         base = limbs_to_ints(load_wtns(TOY + "toy.wtns").values)
 
@@ -51,7 +52,7 @@ def main() -> int:
         from test_keyless_circuit import SMALL
         from keyless_zk_tpu.circuits.keyless_circuit import KeylessConfig
 
-        cfg = SMALL if args.config == "small" else KeylessConfig()
+        cfg = SMALL if config == "small" else KeylessConfig()
         state = ProverServiceState.new_for_testing(keyless_config=cfg)
         state.init_prover_from_native_setup(persist=True)
         pk = state.prover.pk
@@ -77,26 +78,40 @@ def main() -> int:
 
     prover = Groth16Prover(pk)
     results = []
-    for bsz in (1, 4, 8):
+    for bsz in batches:
         batch = BatchProver(prover, max_batch=bsz)
         try:
             # warm compile for this batch shape
             batch.prove_batch([witness(i) for i in range(bsz)])
             t0 = time.perf_counter()
             done = 0
-            while done < args.iters:
-                take = min(bsz, args.iters - done)
+            while done < iters:
+                take = min(bsz, iters - done)
                 batch.prove_batch([witness(done + i) for i in range(take)])
                 done += take
             dt = time.perf_counter() - t0
             results.append(
-                {"batch": bsz, "proofs_per_sec": round(args.iters / dt, 3),
-                 "ms_per_proof": round(dt / args.iters * 1e3, 1)}
+                {"batch": bsz, "proofs_per_sec": round(iters / dt, 3),
+                 "ms_per_proof": round(dt / iters * 1e3, 1)}
             )
             print(json.dumps(results[-1]), flush=True)
         finally:
             batch.shutdown()
-    print(json.dumps({"metric": f"batch_throughput_{args.config}", "results": results}))
+    best = max(results, key=lambda r: r["proofs_per_sec"])
+    return {
+        "proofs_per_sec": best["proofs_per_sec"],
+        "batch": best["batch"],
+        "results": results,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--config", default="toy", choices=["toy", "small", "full"])
+    args = ap.parse_args()
+    res = run_batch_bench(config=args.config, iters=args.iters)
+    print(json.dumps({"metric": f"batch_throughput_{args.config}", **res}))
     return 0
 
 
