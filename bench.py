@@ -300,6 +300,9 @@ def main() -> int:
 
     # ---- 7/8. micro-ops ------------------------------------------------------
     def mont_mul_bench():
+        # measures the production path: jf.mont_mul dispatches to the Pallas
+        # limb-major kernel on TPU. sol_pct scores against the VPU CIOS
+        # speed-of-light (~1.4e9/s derived in BASELINE.md appendix).
         m = 1 << 22
         a = random_scalars(m, seed=1).reshape(m, 16)
         b = random_scalars(m, seed=2).reshape(m, 16)
@@ -307,7 +310,7 @@ def main() -> int:
         mm = jax.jit(lambda x, y: jf.mont_mul(x, y, FR))
         tm = timeit(lambda: mm(a, b))
         gops = m / tm / 1e9
-        rec = emit("mont_mul_fr", gops, "Gops/s", None)
+        rec = emit("mont_mul_fr", gops, "Gops/s", None, sol_pct=round(100 * gops / 1.4, 1))
         rec["vs_baseline"] = round(gops / 1.0, 3)  # anchor: ~1e9 muls/s, 16 cores
         _flush_local()
 

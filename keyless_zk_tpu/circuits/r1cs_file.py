@@ -135,3 +135,60 @@ def r1cs_from_cs(cs) -> R1CS:
         B=[dict(b) for b in B],
         C=[dict(c) for c in C],
     )
+
+
+def r1cs_circom_order(cs) -> tuple[R1CS, list[int]]:
+    """Re-number a native ConstraintSystem into circom wire conventions.
+
+    circom orders wires [1, outputs, public inputs, private inputs,
+    internals] (zkey_utils.hpp:72-74), and a circom-compiled witness
+    generator receives ONLY the input signals — every other wire must be
+    solved from the constraints. `r1cs_from_cs` declares all wires as
+    inputs (the prover doesn't care), so it cannot exercise a foreign
+    witness compiler; this export puts exactly the wires covered by the
+    builder's input hints in the input range. Public wires that are *not*
+    inputs (e.g. the in-circuit-computed public_inputs_hash) become circom
+    outputs, which the compiler must solve like any internal wire.
+
+    Returns (r1cs, perm) with perm[old_wire] = new_wire.
+    """
+    from ..fields import bn254
+
+    input_wires: list[int] = []
+    seen: set[int] = set()
+    for opcode, params, outs, _ in cs.ops:
+        if opcode == "input":
+            for w in outs:
+                if w not in seen:
+                    seen.add(w)
+                    input_wires.append(w)
+    pub = list(range(1, cs.n_public + 1))
+    pub_out = [w for w in pub if w not in seen]
+    pub_in = [w for w in pub if w in seen]
+    prv_in = [w for w in input_wires if w > cs.n_public]
+    order = [0] + pub_out + pub_in + prv_in
+    placed = set(order)
+    order += [w for w in range(cs.n_wires) if w not in placed]
+    perm = [0] * cs.n_wires
+    for new, old in enumerate(order):
+        perm[old] = new
+
+    A, B, C = cs.matrices()
+
+    def remap(row):
+        return {perm[w]: c for w, c in dict(row).items()}
+
+    return (
+        R1CS(
+            prime=bn254.R_SCALAR,
+            n_wires=cs.n_wires,
+            n_pub_out=len(pub_out),
+            n_pub_in=len(pub_in),
+            n_prv_in=len(prv_in),
+            n_constraints=len(cs.constraints),
+            A=[remap(a) for a in A],
+            B=[remap(b) for b in B],
+            C=[remap(c) for c in C],
+        ),
+        perm,
+    )

@@ -271,15 +271,41 @@ def _redc(t: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
     return _csub_p(limbs, spec)
 
 
+def _mont_mul_xla(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    t = _normalize(_product_cols(a, b, 2 * NUM_LIMBS + 1), 2 * NUM_LIMBS)
+    return _redc(t, spec)
+
+
 @functools.partial(jax.jit, static_argnames="spec")
 def mont_mul(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
     """Montgomery product a*b*R^-1 mod p, canonical in/out.
 
     Parallel (redundant-arithmetic) Montgomery: one full limb convolution
     T = a*b, then the REDC tail — no sequential limb recurrence anywhere.
+
+    On real TPUs, large batches route through the Pallas limb-major kernel
+    (ops/pallas_field.py) — the XLA lowering of the one-hot contractions
+    runs ~50x slower than the VMEM-resident kernel schedule (round-3 bench:
+    0.021 vs ~1 Gops/s). The XLA form remains the portable fallback and the
+    differential-test oracle.
     """
-    t = _normalize(_product_cols(a, b, 2 * NUM_LIMBS + 1), 2 * NUM_LIMBS)
-    return _redc(t, spec)
+    import os
+
+    import numpy as np
+
+    n = int(np.prod(jnp.broadcast_shapes(a.shape, b.shape)[:-1] or (1,)))
+    if (
+        n >= (1 << 12)
+        and jax.default_backend() == "tpu"
+        and os.environ.get("KEYLESS_NO_PALLAS") != "1"
+    ):
+        from ..ops.pallas_field import mont_mul_pallas
+
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        return mont_mul_pallas(
+            jnp.broadcast_to(a, shape), jnp.broadcast_to(b, shape), spec
+        )
+    return _mont_mul_xla(a, b, spec)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "num_segments"))
@@ -302,10 +328,25 @@ def segment_sum_mod(
     time) so the result comes out in the intended representation.
     """
     assert values.shape[0] < (1 << 23), "segment_sum_mod: too many terms"
-    lo = (values & jnp.uint32(0xFF)).astype(jnp.uint32)
-    hi = (values >> 8).astype(jnp.uint32)
+    lo, hi = split8(values)
     sum_lo = jax.ops.segment_sum(lo, segment_ids, num_segments)  # < 2^31
     sum_hi = jax.ops.segment_sum(hi, segment_ids, num_segments)
+    return fold_split8_mod(sum_lo, sum_hi, spec)
+
+
+def split8(values: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., 16) u32 16-bit limbs -> (lo, hi) 8-bit halves as u32, for exact
+    integer accumulation (terms <= 255 per column)."""
+    lo = (values & jnp.uint32(0xFF)).astype(jnp.uint32)
+    hi = (values >> 8).astype(jnp.uint32)
+    return lo, hi
+
+
+@functools.partial(jax.jit, static_argnames="spec")
+def fold_split8_mod(sum_lo: jnp.ndarray, sum_hi: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
+    """Fold accumulated 8-bit-split column sums (< 2^31 per column) back to
+    canonical limbs mod p. Output scaled by R^-1 (one REDC), matching
+    segment_sum_mod's convention."""
     # wide row value = sum_lo . 2^16-weights + sum_hi . 2^16-weights . 2^8
     # decompose every u32 column into 16-bit digits at the right positions
     ext = 2 * NUM_LIMBS  # plenty: value < 2^23 * p < 2^278

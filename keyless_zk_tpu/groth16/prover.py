@@ -62,6 +62,11 @@ class Proof:
         }
 
 
+# coefficient-table entries evaluated per device pass (~260 MB of limb data
+# per slice; the full keyless table is ~42.7M entries)
+_COEF_CHUNK = 1 << 22
+
+
 def _sample_fr() -> int:
     """Rejection-sample a uniform scalar < r (groth16.cpp:288-316)."""
     while True:
@@ -103,13 +108,33 @@ class Groth16Prover:
             dev(np.pad(pk.points_c.inf, [(pad_c, 0)], constant_values=True)),
         )
         self.points_h = (dev(pk.points_h.x), dev(pk.points_h.y), dev(pk.points_h.inf))
-        # pre-scale Montgomery-stored coefs by R^2: segment_sum_mod's trailing
-        # REDC then lands values in the reference's raw-byte representation.
+        # Coefficient table, SORTED by destination row once at load (host):
+        # the per-proof reduction then runs as a sorted segment sum, and the
+        # full keyless table (42.7M entries, ~2.7 GB of limbs) streams
+        # through the chip in _COEF_CHUNK slices — the round-3 unchunked
+        # mont_mul/segment_sum OOM'd 16 GB of HBM at this scale.
+        dest = pk.coef_m.astype(np.int64) * pk.domain_size + pk.coef_c
+        nnz = dest.shape[0]
+        order = np.argsort(dest, kind="stable")
+        dest = dest[order].astype(np.int32)
+        seg_max = int(np.diff(np.searchsorted(dest, np.arange(2 * pk.domain_size + 1))).max()) if nnz else 0
+        assert seg_max < (1 << 23), "coefficient row too dense for 8-bit split sums"
+        chunk = min(_COEF_CHUNK, max(nnz, 1))
+        k = -(-nnz // chunk) or 1
+        pad = k * chunk - nnz
+        # pad with zero-value terms aimed at the last segment (keeps the
+        # per-chunk ids sorted)
+        s_sorted = np.pad(pk.coef_s[order].astype(np.int32), (0, pad))
+        d_sorted = np.pad(dest, (0, pad), constant_values=2 * pk.domain_size - 1)
+        v_sorted = np.pad(pk.coef_val[order], [(0, pad), (0, 0)])
+        self.coef_s = dev(s_sorted.reshape(k, chunk))
+        self.coef_dest = dev(d_sorted.reshape(k, chunk))
+        # pre-scale Montgomery-stored coefs by R^2 (chunked): the reduction's
+        # trailing REDC then lands values in the reference's raw-byte
+        # representation.
         r2 = jf.consts(FR, FR.r2_mod_p)
-        self.coef_val = jf.mont_mul(dev(pk.coef_val), r2, FR)
-        self.coef_s = dev(pk.coef_s.astype(np.int32))
-        # destination index in the doubled (m, c) key space: m*domain + c
-        self.coef_dest = dev((pk.coef_m.astype(np.int64) * pk.domain_size + pk.coef_c).astype(np.int32))
+        vals = dev(v_sorted.reshape(k, chunk, NUM_LIMBS))
+        self.coef_val = jax.lax.map(lambda s: jf.mont_mul(s, r2, FR), vals)
         self.coset = self.plan.coset_powers()
 
     @staticmethod
@@ -131,11 +156,40 @@ class Groth16Prover:
 
     # ---- device phases -------------------------------------------------
 
+    def _eval_ab(self, witness: jnp.ndarray) -> jnp.ndarray:
+        """Coefficient-table evaluation: witness -> concatenated a|b vectors
+        (2*domain, 16). The sorted table streams in _COEF_CHUNK slices under
+        a scan; raw 8-bit column sums accumulate across chunks (exact: each
+        segment holds < 2^23 terms) and fold to canonical limbs once.
+        Replaces the reference's 1024-spinlock scatter (groth16.cpp:135-156).
+        """
+        m2 = 2 * self.pk.domain_size
+
+        def body(carry, sl):
+            s, v, d = sl
+            av = jf.mont_mul(jnp.take(witness, s, axis=0), v, FR)
+            lo, hi = jf.split8(av)
+            acc_lo = carry[0] + jax.ops.segment_sum(
+                lo, d, m2, indices_are_sorted=True
+            )
+            acc_hi = carry[1] + jax.ops.segment_sum(
+                hi, d, m2, indices_are_sorted=True
+            )
+            return (acc_lo, acc_hi), None
+
+        init = (
+            jnp.zeros((m2, NUM_LIMBS), jnp.uint32),
+            jnp.zeros((m2, NUM_LIMBS), jnp.uint32),
+        )
+        (lo, hi), _ = jax.lax.scan(
+            body, init, (self.coef_s, self.coef_val, self.coef_dest)
+        )
+        return jf.fold_split8_mod(lo, hi, FR)
+
     def _h_scalars(self, witness: jnp.ndarray) -> jnp.ndarray:
         """Witness -> MSM_H scalar vector (the NTT phase), fully on device."""
         pk = self.pk
-        av = jf.mont_mul(jnp.take(witness, self.coef_s, axis=0), self.coef_val, FR)
-        ab = jf.segment_sum_mod(av, self.coef_dest, 2 * pk.domain_size, FR)
+        ab = self._eval_ab(witness)
         a, b = ab[: pk.domain_size], ab[pk.domain_size :]
         c = jf.mont_mul(a, b, FR)
 

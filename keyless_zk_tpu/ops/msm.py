@@ -48,7 +48,7 @@ from ..fields.limbs import LIMB_BITS, NUM_LIMBS
 SCALAR_BITS = 254
 
 # bump when fused-kernel semantics change (invalidates AOT export cache)
-AOT_VERSION = 3
+AOT_VERSION = 4
 
 _PALLAS_CURVES = {}
 
@@ -131,6 +131,27 @@ def _searchsorted(keys: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
         done = lo >= hi
         mid = jnp.minimum((lo + hi) >> 1, m - 1)
         kv = keys[mid]
+        go = kv < vals
+        lo2 = _sel(go, mid + 1, lo)
+        hi2 = _sel(go, hi, mid)
+        return (_sel(done, lo, lo2), _sel(done, hi, hi2))
+
+    lo = jnp.zeros_like(vals)
+    hi = jnp.full_like(vals, m)
+    lo, _ = jax.lax.fori_loop(0, (m + 1).bit_length(), body, (lo, hi))
+    return lo
+
+
+def _searchsorted_rows(keys: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
+    """Row-batched left-bisect: keys (g, m) row-sorted, vals (g, k) ->
+    (g, k) insert positions. Same lax-only bisection as _searchsorted."""
+    g, m = keys.shape
+
+    def body(_, lohi):
+        lo, hi = lohi
+        done = lo >= hi
+        mid = jnp.minimum((lo + hi) >> 1, m - 1)
+        kv = jnp.take_along_axis(keys, mid, axis=1)
         go = kv < vals
         lo2 = _sel(go, mid + 1, lo)
         hi2 = _sel(go, hi, mid)
@@ -255,17 +276,20 @@ def msm(
     if tag is not None:
         import functools as _ft
 
+        from .pallas_ec import field_for
         from ..utils.aot_cache import aot_call
 
         cw = c or fused_window_bits(n)
+        Wn = -(-SCALAR_BITS // cw)
+        g = _fused_group_size(scan_v * (-(-n // scan_v)), Wn, field_for(tag).rows)
         fn = jax.jit(
             _ft.partial(
                 _msm_pippenger_fused.__wrapped__,
-                tag=tag, c=cw, v=scan_v, assume_distinct=assume_distinct,
+                tag=tag, c=cw, v=scan_v, g=g, assume_distinct=assume_distinct,
             )
         )
         return aot_call(
-            f"msm_fused_{tag}_c{cw}_v{scan_v}_d{int(assume_distinct)}",
+            f"msm_fused_{tag}_c{cw}_v{scan_v}_g{g}_d{int(assume_distinct)}",
             AOT_VERSION,
             fn,
             points_x, points_y, points_inf, scalars,
@@ -276,8 +300,27 @@ def msm(
     )
 
 
+def _fused_group_size(n_p: int, Wn: int, R: int) -> int:
+    """Windows processed per scan-kernel launch (lane-axis folding).
+
+    Folding all windows into one window_scan invocation turns Wn serialized
+    per-window dispatch rounds (sorted-stream gathers, scan, merge, bucket
+    gathers) into ONE kernel chain — the round-3 per-window lax.map paid
+    ~2.3 ms of fixed overhead per window at 2^16 (probe_fused_stages). The
+    group size is capped by HBM: each folded window holds a gathered point
+    stream (2 coords) plus a 3-coordinate emit buffer, R*n_p*4*5 bytes.
+    """
+    cap = int(os.environ.get("KEYLESS_MSM_GROUP_BYTES", str(6 << 30)))
+    per_win = n_p * R * 4 * 5
+    g_max = max(1, min(Wn, cap // max(per_win, 1)))
+    # round so groups divide Wn as evenly as possible: a padded window costs
+    # a full n_p-add scan lap (e.g. Wn=16, g_max=13 would scan 26 windows)
+    n_groups = -(-Wn // g_max)
+    return -(-Wn // n_groups)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("tag", "c", "v", "assume_distinct")
+    jax.jit, static_argnames=("tag", "c", "v", "g", "assume_distinct")
 )
 def _msm_pippenger_fused(
     points_x: jnp.ndarray,
@@ -289,15 +332,24 @@ def _msm_pippenger_fused(
     c: int,
     v: int,
     assume_distinct: bool,
+    g: int | None = None,
 ) -> JacPoint:
-    """Pippenger with every per-element stage fused into Pallas kernels."""
+    """Pippenger with every per-element stage fused into Pallas kernels.
+
+    Round-4 structure: windows fold into the scan kernel's LANE axis in
+    groups of g (all 20 at 2^16 G1), so the whole MSM is one sort + a few
+    wide kernel launches instead of Wn narrow ones. Scan lanes never
+    interact, so a group scan over V' = g*V lanes is exactly g independent
+    window scans; the boundary merge and bucket gathers batch per window
+    inside the group. Cf. multiexp.cpp:182-245 (the TBB per-thread bucket
+    design this replaces).
+    """
     from . import pallas_msm
     from .pallas_ec import field_for
 
     R = field_for(tag).rows
     n = scalars.shape[0]
     V = v
-    Wd = V // 8
     L = -(-n // V)
     n_p = V * L
     pad = n_p - n
@@ -308,36 +360,83 @@ def _msm_pippenger_fused(
     NB = half + 1
     NB_pad = -(-NB // pallas_msm.RV) * pallas_msm.RV
 
-    # master limb-major tables with a sentinel infinity column at index n
+    if g is None:
+        g = _fused_group_size(n_p, Wn, R)
+    g = min(g, Wn)
+    n_groups = -(-Wn // g)
+    Wn_pad = n_groups * g
+    Vg = g * V  # lanes per scan launch
+    Wd = Vg // 8
+    Mg = L * Vg  # flat emit length per group
+
+    # pad windows (all-sentinel streams scan to empty bucket tables)
+    if Wn_pad > Wn:
+        keys = jnp.concatenate(
+            [keys, jnp.full((Wn_pad - Wn, n), -1, jnp.int32)]
+        )
+        negs = jnp.concatenate(
+            [negs, jnp.zeros((Wn_pad - Wn, n), jnp.int32)]
+        )
+
+    # master point table with a sentinel infinity row at index n;
+    # row-major (point-major) so stream gathers read 64-byte rows
     zrow = jnp.zeros((1, R), jnp.uint32)
-    pxm = jnp.concatenate([points_x.reshape(n, R), zrow]).T  # (R, n+1)
-    pym = jnp.concatenate([points_y.reshape(n, R), zrow]).T
+    pxr = jnp.concatenate([points_x.reshape(n, R), zrow])  # (n+1, R)
+    pyr = jnp.concatenate([points_y.reshape(n, R), zrow])
     pinf_ext = jnp.concatenate([points_inf, jnp.ones((1,), bool)])
 
-    # sort all windows at once; payload packs point index + sign bit.
-    # pad entries sort to the front (key -1) and index the sentinel column.
+    # ONE sort for all windows; payload packs point index + sign bit. Pad
+    # entries sort to the front (key -1) and index the sentinel row. When
+    # key+neg+index fit in 31 bits, sort a single packed i32 operand
+    # (measurably cheaper than the two-operand variadic sort).
+    idx_bits = (n + 1).bit_length()
+    key_bits = (half + 2).bit_length()
     iota = jax.lax.iota(jnp.int32, n)
-    payload = jnp.broadcast_to(iota, (Wn, n)) | (negs << 30)
-    if pad:
-        keys = jnp.concatenate([jnp.full((Wn, pad), -1, jnp.int32), keys], axis=1)
-        payload = jnp.concatenate(
-            [jnp.full((Wn, pad), n, jnp.int32), payload], axis=1
+    if key_bits + 1 + idx_bits <= 31:
+        packed = (
+            ((keys + 1) << (idx_bits + 1))
+            | (negs << idx_bits)
+            | jnp.broadcast_to(iota, (Wn_pad, n))
         )
-    keys_s, pay_s = jax.lax.sort((keys, payload), num_keys=1, is_stable=True, dimension=1)
+        if pad:
+            packed = jnp.concatenate(
+                [jnp.full((Wn_pad, pad), n, jnp.int32), packed], axis=1
+            )
+        packed = jax.lax.sort(packed, dimension=1)
+        keys_s = (packed >> (idx_bits + 1)) - 1
+        pay_s = (packed & ((1 << idx_bits) - 1)) | (
+            ((packed >> idx_bits) & 1) << 30
+        )
+    else:
+        payload = jnp.broadcast_to(iota, (Wn_pad, n)) | (negs << 30)
+        if pad:
+            keys = jnp.concatenate(
+                [jnp.full((Wn_pad, pad), -1, jnp.int32), keys], axis=1
+            )
+            payload = jnp.concatenate(
+                [jnp.full((Wn_pad, pad), n, jnp.int32), payload], axis=1
+            )
+        keys_s, pay_s = jax.lax.sort(
+            (keys, payload), num_keys=1, is_stable=False, dimension=1
+        )
 
     bvals = jax.lax.iota(jnp.int32, NB_pad)
+    warr = jax.lax.iota(jnp.int32, g)  # window slot within the group
 
-    def one_window(args):
-        kw, pw = args  # (n_p,) sorted
+    def group_tables(args):
+        kw, pw = args  # (g, n_p) sorted per window
         idx = pw & ((1 << 30) - 1)
         neg = (pw >> 30) & 1
-        # step-major flattening: flat position t*V + val holds sorted
-        # element val*L + t (lane val, slab t)
-        ord_sm = idx.reshape(V, L).T.reshape(n_p)
-        keys_sm = kw.reshape(V, L).T.reshape(n_p)
-        neg_sm = neg.reshape(V, L).T.reshape(n_p)
-        gx = pxm[:, ord_sm]  # (R, n_p)
-        gy = pym[:, ord_sm]
+
+        def smaj(x):  # (g, n_p) -> (L, g*V) slab-major, window-blocked lanes
+            return x.reshape(g, V, L).transpose(2, 0, 1).reshape(L, Vg)
+
+        ord_sm = smaj(idx)
+        keys_sm = smaj(kw)
+        neg_sm = smaj(neg)
+        flat_ord = ord_sm.reshape(Mg)
+        gx = jnp.take(pxr, flat_ord, axis=0).T.reshape(R, L, 8, Wd)
+        gy = jnp.take(pyr, flat_ord, axis=0).T.reshape(R, L, 8, Wd)
         inf_sm = pinf_ext[ord_sm] | (keys_sm == 0)
         flags = inf_sm.astype(jnp.int32) | (neg_sm << 1)
 
@@ -345,51 +444,73 @@ def _msm_pippenger_fused(
             tag,
             keys_sm.reshape(L, 8, Wd),
             flags.reshape(L, 8, Wd),
-            gx.reshape(R, L, 8, Wd),
-            gy.reshape(R, L, 8, Wd),
-            V=V,
+            gx,
+            gy,
+            V=Vg,
             assume_distinct=assume_distinct,
         )
 
-        # boundary sequence: head_0, tail_0, head_1, ... in sorted order
-        bkeys = jnp.stack([hk.reshape(V), tk.reshape(V)], axis=1).reshape(2 * V)
-        bkeys = jax.lax.cummax(bkeys)  # fill -1/-2 sentinels; points are inf
+        # boundary sequence per window: head_0, tail_0, head_1, ... in
+        # sorted order (lane blocks are window-contiguous: lane w*V + v)
+        hkr = hk.reshape(g, V)
+        tkr = tk.reshape(g, V)
+        bkeys = jnp.stack([hkr, tkr], axis=2).reshape(g, 2 * V)
+        bkeys = jax.lax.cummax(bkeys, axis=1)  # fill -1/-2 sentinels
 
-        def inter(h, t):  # (R, 1, 8, Wd) x2 -> (R, 2V) interleaved
-            return jnp.stack([h.reshape(R, V), t.reshape(R, V)], axis=2).reshape(R, 2 * V)
+        def inter(h, t):  # (R, 1, 8, Wd) x2 -> (g, R, 2V) interleaved
+            hh = h.reshape(R, g, V)
+            tt = t.reshape(R, g, V)
+            return jnp.stack([hh, tt], axis=3).transpose(1, 0, 2, 3).reshape(
+                g, R, 2 * V
+            )
 
         mx, my, mz = pallas_msm.boundary_merge(
-            tag, bkeys[None], inter(hx, tx)[None], inter(hy, ty)[None], inter(hz, tz)[None]
-        )
-        mx, my, mz = mx[0], my[0], mz[0]  # (R, 2V)
+            tag, bkeys, inter(hx, tx), inter(hy, ty), inter(hz, tz)
+        )  # (g, R, 2V) x3
 
-        # dense bucket table via searchsorted gathers (no scatter):
-        # bucket b's run spans sorted positions [starts_b, ends_b]; if the
-        # run is interior to one lane, its total is the scan's pre-add
-        # state in the slab after the run ends; otherwise it lives at the
-        # leader position of the merged boundary sequence.
-        starts = _searchsorted(kw, bvals)
-        ends = _searchsorted(kw, bvals + 1) - 1
+        # dense bucket tables via searchsorted gathers (no scatter)
+        starts = _searchsorted_rows(kw, jnp.broadcast_to(bvals, (g, NB_pad)))
+        ends = _searchsorted_rows(kw, jnp.broadcast_to(bvals + 1, (g, NB_pad))) - 1
         interior = (
             (ends >= starts)
             & (starts // L == ends // L)
             & (starts % L != 0)
             & (ends % L != L - 1)
         )
-        col = _sel(interior, (ends % L + 1) * V + ends // L, 0)
-        lpos = jnp.minimum(_searchsorted(bkeys, bvals), 2 * V - 1)
-        has = (bkeys[lpos] == bvals) & ~interior
+        # global flat emit position: slab (ends%L)+1, lane w*V + ends//L
+        col = _sel(
+            interior, (ends % L + 1) * Vg + warr[:, None] * V + ends // L, 0
+        )  # (g, NB_pad)
+        lpos = jnp.minimum(
+            _searchsorted_rows(bkeys, jnp.broadcast_to(bvals, (g, NB_pad))),
+            2 * V - 1,
+        )
+        has = (jnp.take_along_axis(bkeys, lpos, axis=1) == bvals) & ~interior
 
-        eflat = ex.reshape(R, n_p), ey.reshape(R, n_p), ez.reshape(R, n_p)
+        eflat = ex.reshape(R, Mg), ey.reshape(R, Mg), ez.reshape(R, Mg)
         mflat = mx, my, mz
         outs = []
-        im = interior[None, :]
-        hm = has[None, :]
+        im = interior[:, None, :]  # (g, 1, NB_pad)
+        hm = has[:, None, :]
+        lpos3 = lpos[:, None, :]
         for e, m in zip(eflat, mflat):
-            outs.append(_sel(im, e[:, col], _sel(hm, m[:, lpos], jnp.uint32(0))))
-        return tuple(outs)  # (R, NB_pad) x3
+            egath = e[:, col.reshape(-1)].reshape(R, g, NB_pad).transpose(1, 0, 2)
+            mgath = jnp.take_along_axis(
+                m, jnp.broadcast_to(lpos3, (g, R, NB_pad)), axis=2
+            )
+            outs.append(_sel(im, egath, _sel(hm, mgath, jnp.uint32(0))))
+        return tuple(outs)  # (g, R, NB_pad) x3
 
-    dxs, dys, dzs = jax.lax.map(one_window, (keys_s, pay_s))  # (Wn, R, NB_pad)
+    kg = keys_s.reshape(n_groups, g, n_p)
+    pg = pay_s.reshape(n_groups, g, n_p)
+    if n_groups == 1:
+        dxs, dys, dzs = group_tables((kg[0], pg[0]))
+    else:
+        dxs, dys, dzs = jax.lax.map(group_tables, (kg, pg))
+        dxs = dxs.reshape(Wn_pad, R, NB_pad)
+        dys = dys.reshape(Wn_pad, R, NB_pad)
+        dzs = dzs.reshape(Wn_pad, R, NB_pad)
+    dxs, dys, dzs = dxs[:Wn], dys[:Wn], dzs[:Wn]
 
     wx, wy, wz = pallas_msm.weighted_bucket_total(tag, dxs, dys, dzs)
     tx_, ty_, tz_ = pallas_msm.horner_total(tag, wx, wy, wz, c)

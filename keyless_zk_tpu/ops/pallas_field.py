@@ -81,6 +81,9 @@ def _conv_const(a: list, b_const: list[int], out_cols: int) -> list:
     return [c if c is not None else jnp.zeros_like(a[0]) for c in cols]
 
 
+_SUB = 8  # sublane rows per tile: every VPU op runs on dense (8, 128) vregs
+
+
 def _make_kernel(p: int):
     p_limbs = [int(x) for x in int_to_limbs(p)]
     r = 1 << (LIMB_BITS * NUM_LIMBS)
@@ -88,8 +91,11 @@ def _make_kernel(p: int):
     pbar_limbs = [0xFFFF - x for x in p_limbs]  # for the conditional subtract
 
     def kernel(a_ref, b_ref, o_ref):
-        a = [a_ref[i, :] for i in range(NUM_LIMBS)]
-        b = [b_ref[i, :] for i in range(NUM_LIMBS)]
+        # limb i is a dense (8, TILE//8) 2-D tile — the round-3 kernel read
+        # 1-D (TILE,) rows, which Mosaic lays out one sublane wide (1/8th
+        # VPU register occupancy; same fix as ops/pallas_ec.py round-2)
+        a = [a_ref[i, 0] for i in range(NUM_LIMBS)]
+        b = [b_ref[i, 0] for i in range(NUM_LIMBS)]
 
         # T = a * b (32 canonical limbs)
         t = _carry_resolve(_conv(a, b, 2 * NUM_LIMBS), 2 * NUM_LIMBS)
@@ -112,7 +118,7 @@ def _make_kernel(p: int):
             carry = v >> LIMB_BITS
         geq = (carry + res[NUM_LIMBS]) >= 1  # borrow-free (+ overflow limb)
         for i in range(NUM_LIMBS):
-            o_ref[i, :] = jnp.where(geq, diff[i], res[i])
+            o_ref[i, 0] = jnp.where(geq, diff[i], res[i])
 
     return kernel
 
@@ -120,17 +126,18 @@ def _make_kernel(p: int):
 @functools.lru_cache(maxsize=4)
 def _build_call(p: int, n_tiles: int):
     kernel = _make_kernel(p)
+    lanes = TILE // _SUB
+    spec = pl.BlockSpec(
+        (NUM_LIMBS, 1, _SUB, lanes), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+    )
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((NUM_LIMBS, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NUM_LIMBS, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (NUM_LIMBS, TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (NUM_LIMBS, n_tiles, _SUB, lanes), jnp.uint32
         ),
-        out_shape=jax.ShapeDtypeStruct((NUM_LIMBS, n_tiles * TILE), jnp.uint32),
         interpret=_INTERPRET,
     )
 
@@ -146,5 +153,8 @@ def mont_mul_pallas(a: jnp.ndarray, b: jnp.ndarray, spec) -> jnp.ndarray:
     if pad:
         at = jnp.pad(at, [(0, 0), (0, pad)])
         bt = jnp.pad(bt, [(0, 0), (0, pad)])
+    lanes = TILE // _SUB
+    at = at.reshape(NUM_LIMBS, n_tiles, _SUB, lanes)
+    bt = bt.reshape(NUM_LIMBS, n_tiles, _SUB, lanes)
     out = _build_call(spec.p, n_tiles)(at, bt)
-    return out[:, :n].T.reshape(shape)
+    return out.reshape(NUM_LIMBS, n_tiles * TILE)[:, :n].T.reshape(shape)

@@ -216,6 +216,13 @@ def _build_scan(tag: str, V: int, L: int, assume_distinct: bool):
     k1_shape = jax.ShapeDtypeStruct((1, 8, Wd), jnp.int32)
     p1_shape = jax.ShapeDtypeStruct((R, 1, 8, Wd), jnp.uint32)
 
+    # wide folded-lane launches (V = g*1024 after window folding) need more
+    # than the 16M default scoped-vmem budget; v5e has 128M per core
+    params = {}
+    if not _INTERPRET:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20
+        )
     return pl.pallas_call(
         _scan_kernel_body(F, assume_distinct),
         grid=(L,),
@@ -239,6 +246,7 @@ def _build_scan(tag: str, V: int, L: int, assume_distinct: bool):
             pltpu.VMEM((8, Wd), jnp.int32),       # head_key
         ],
         interpret=_INTERPRET,
+        **params,
     )
 
 
@@ -325,8 +333,9 @@ def _suffix_passes(F, pt, keys, n_repeats: int):
     ALL passes (every repeat, lane- and row-level shifts) run under a single
     fori_loop with a dynamic flat rotate, so the kernel graph holds exactly
     ONE group-law instance — tracing the 16-limb EC add dominates kernel
-    build time (~4 s per instance), and the round-2 unrolled row passes made
-    MSM trace+lower take minutes per shape.
+    build time (~4 s per instance; a round-4 experiment that unrolled the
+    passes with static rotates cost ~340 s of extra compile per shape and
+    measured ZERO runtime gain at 2^16, so the rolled form stays).
     """
     shape = (pt[0][0] if F is KFQ else pt[0][0][0]).shape
     m = shape[0] * shape[1]

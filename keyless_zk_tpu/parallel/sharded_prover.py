@@ -79,8 +79,7 @@ class ShardedGroth16Prover(Groth16Prover):
 
     def _h_scalars(self, witness: jnp.ndarray) -> jnp.ndarray:
         pk = self.pk
-        av = jf.mont_mul(jnp.take(witness, self.coef_s, axis=0), self.coef_val, FR)
-        ab = jf.segment_sum_mod(av, self.coef_dest, 2 * pk.domain_size, FR)
+        ab = self._eval_ab(witness)  # chunked sorted-segment evaluation
         a, b = ab[: pk.domain_size], ab[pk.domain_size :]
         c = jf.mont_mul(a, b, FR)
 
