@@ -185,14 +185,19 @@ def _is_inf(pt):
     return pt is None
 
 
+def _norm(v):
+    """Reduce an int coordinate mod Q; FQ12 coordinates self-reduce."""
+    return v % Q if isinstance(v, int) else v
+
+
 def _double(pt):
     if pt is None:
         return None
     x, y = pt
     m_num = 3 * x * x
     m = m_num * _field_inv(2 * y)
-    nx = m * m - 2 * x
-    ny = m * (x - nx) - y
+    nx = _norm(m * m - 2 * x)
+    ny = _norm(m * (x - nx) - y)
     return (nx, ny)
 
 
@@ -214,8 +219,8 @@ def _add(p1, p2):
     if x1 == x2:
         return None
     m = (y2 - y1) * _field_inv(x2 - x1)
-    nx = m * m - x1 - x2
-    ny = m * (x1 - nx) - y1
+    nx = _norm(m * m - x1 - x2)
+    ny = _norm(m * (x1 - nx) - y1)
     return (nx, ny)
 
 
