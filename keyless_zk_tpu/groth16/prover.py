@@ -67,6 +67,44 @@ class Proof:
 _COEF_CHUNK = 1 << 22
 
 
+def _dedup_point_table(x: np.ndarray, y: np.ndarray, inf: np.ndarray):
+    """Collapse duplicate rows of a zkey point table.
+
+    Real zkeys repeat points heavily — in the full keyless setup points_a
+    holds 1,377,553 rows but only 1,194,986 distinct (x, y, inf) triples
+    and points_b1/b2 only 796,854 (mostly wires absent from B => infinity,
+    plus genuinely equal evaluation points [A_i(tau)]). Two copies of one
+    point adjacent in a bucket run would hit the P == Q case the fused
+    scan's `assume_distinct` fast path skips (ops/pallas_ec.madd_core), so
+    the prover sums the duplicate rows' witness scalars instead: MSM over
+    unique points only — correct by bilinearity, and 13-42% less MSM work.
+
+    Returns ((ux, uy, uinf), merge) where merge is None when the table has
+    no duplicates, else (order, seg, n_unique) host arrays for a sorted
+    segment-sum of scalars (out[k] = sum of scalars whose row maps to k).
+    """
+    n = inf.shape[0]
+    flat = np.concatenate(
+        [
+            np.ascontiguousarray(x).reshape(n, -1),
+            np.ascontiguousarray(y).reshape(n, -1),
+            inf.reshape(n, 1).astype(x.dtype),
+        ],
+        axis=1,
+    )
+    view = np.ascontiguousarray(flat).view([("", flat.dtype)] * flat.shape[1])
+    _, first_idx, inv = np.unique(view.ravel(), return_index=True, return_inverse=True)
+    n_unique = first_idx.shape[0]
+    if n_unique == n:
+        return (x, y, inf), None
+    order = np.argsort(inv, kind="stable").astype(np.int32)
+    seg = inv[order].astype(np.int32)
+    return (
+        (x[first_idx], y[first_idx], inf[first_idx]),
+        (order, seg, int(n_unique)),
+    )
+
+
 def _sample_fr() -> int:
     """Rejection-sample a uniform scalar < r (groth16.cpp:288-316)."""
     while True:
@@ -94,20 +132,36 @@ class Groth16Prover:
         self.plan = self._pick_plan(self.domain_pow)
 
         dev = jnp.asarray
-        self.points_a = (dev(pk.points_a.x), dev(pk.points_a.y), dev(pk.points_a.inf))
-        self.points_b1 = (dev(pk.points_b1.x), dev(pk.points_b1.y), dev(pk.points_b1.inf))
-        self.points_b2 = (dev(pk.points_b2.x), dev(pk.points_b2.y), dev(pk.points_b2.inf))
+
+        def dedup_dev(x, y, inf):
+            (ux, uy, uinf), merge = _dedup_point_table(x, y, inf)
+            if merge is not None:
+                order, seg, nu = merge
+                merge = (dev(order), dev(seg), nu)
+            return (dev(ux), dev(uy), dev(uinf)), merge
+
+        self.points_a, self._merge_a = dedup_dev(
+            pk.points_a.x, pk.points_a.y, pk.points_a.inf
+        )
+        self.points_b1, self._merge_b1 = dedup_dev(
+            pk.points_b1.x, pk.points_b1.y, pk.points_b1.inf
+        )
+        self.points_b2, self._merge_b2 = dedup_dev(
+            pk.points_b2.x, pk.points_b2.y, pk.points_b2.inf
+        )
         # Front-pad the C table with nPublic+1 infinity rows: pointsC[i]
         # pairs with wtns[i + nPublic + 1] (groth16.cpp:104-112), so after
         # padding, table row i pairs with wtns[i] and MSM_C shares
         # MSM_A/B1's shape — one compiled kernel for all three.
         pad_c = pk.n_vars - pk.points_c.x.shape[0]
-        self.points_c = (
-            dev(np.pad(pk.points_c.x, [(pad_c, 0), (0, 0)])),
-            dev(np.pad(pk.points_c.y, [(pad_c, 0), (0, 0)])),
-            dev(np.pad(pk.points_c.inf, [(pad_c, 0)], constant_values=True)),
+        self.points_c, self._merge_c = dedup_dev(
+            np.pad(pk.points_c.x, [(pad_c, 0), (0, 0)]),
+            np.pad(pk.points_c.y, [(pad_c, 0), (0, 0)]),
+            np.pad(pk.points_c.inf, [(pad_c, 0)], constant_values=True),
         )
-        self.points_h = (dev(pk.points_h.x), dev(pk.points_h.y), dev(pk.points_h.inf))
+        self.points_h, self._merge_h = dedup_dev(
+            pk.points_h.x, pk.points_h.y, pk.points_h.inf
+        )
         # Coefficient table, SORTED by destination row once at load (host):
         # the per-proof reduction then runs as a sorted segment sum, and the
         # full keyless table (42.7M entries, ~2.7 GB of limbs) streams
@@ -155,6 +209,20 @@ class Groth16Prover:
         return get_plan(domain_pow)
 
     # ---- device phases -------------------------------------------------
+
+    @staticmethod
+    def _merge_scalars(scalars: jnp.ndarray, merge) -> jnp.ndarray:
+        """Sum the scalars of duplicate table rows (see _dedup_point_table).
+
+        Scalars are standard form; segment_sum_mod's REDC factor is
+        cancelled by lifting to Montgomery form first:
+        sum((w·R)) · R^-1 = sum(w) mod r.
+        """
+        if merge is None:
+            return scalars
+        order, seg, n_unique = merge
+        vals = jf.to_mont(jnp.take(scalars, order, axis=0), FR)
+        return jf.segment_sum_mod(vals, seg, n_unique, FR)
 
     def _eval_ab(self, witness: jnp.ndarray) -> jnp.ndarray:
         """Coefficient-table evaluation: witness -> concatenated a|b vectors
@@ -212,14 +280,19 @@ class Groth16Prover:
         w = jnp.asarray(witness_limbs)
         assert w.shape == (pk.n_vars, NUM_LIMBS)
 
-        msm_a = msm(*self.points_a, w, curve=G1_CURVE, lanes=self.lanes)
-        msm_b1 = msm(*self.points_b1, w, curve=G1_CURVE, lanes=self.lanes)
-        msm_b2 = msm(*self.points_b2, w, curve=G2_CURVE, lanes=self.lanes)
+        msm_a = msm(*self.points_a, self._merge_scalars(w, self._merge_a),
+                    curve=G1_CURVE, lanes=self.lanes)
+        msm_b1 = msm(*self.points_b1, self._merge_scalars(w, self._merge_b1),
+                     curve=G1_CURVE, lanes=self.lanes)
+        msm_b2 = msm(*self.points_b2, self._merge_scalars(w, self._merge_b2),
+                     curve=G2_CURVE, lanes=self.lanes)
         # the public rows of the padded C table are infinity, so the full
         # witness is a valid scalar vector here
-        msm_c = msm(*self.points_c, w, curve=G1_CURVE, lanes=self.lanes)
+        msm_c = msm(*self.points_c, self._merge_scalars(w, self._merge_c),
+                    curve=G1_CURVE, lanes=self.lanes)
         h = self._h_scalars(w)
-        msm_h = msm(*self.points_h, h, curve=G1_CURVE, lanes=self.lanes)
+        msm_h = msm(*self.points_h, self._merge_scalars(h, self._merge_h),
+                    curve=G1_CURVE, lanes=self.lanes)
 
         # decode the five MSM results to host affine points
         a_pt = G1_CURVE.decode_jacobian(JacPoint(*jax.tree.map(lambda v: v[None], msm_a)))[0]

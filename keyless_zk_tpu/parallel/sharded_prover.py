@@ -99,12 +99,12 @@ class ShardedGroth16Prover(Groth16Prover):
         w = jnp.asarray(witness_limbs)
         assert w.shape == (pk.n_vars, NUM_LIMBS)
 
-        msm_a = self._msm(self.points_a, w, G1_CURVE)
-        msm_b1 = self._msm(self.points_b1, w, G1_CURVE)
-        msm_b2 = self._msm(self.points_b2, w, G2_CURVE)
-        msm_c = self._msm(self.points_c, w, G1_CURVE)
+        msm_a = self._msm(self.points_a, self._merge_scalars(w, self._merge_a), G1_CURVE)
+        msm_b1 = self._msm(self.points_b1, self._merge_scalars(w, self._merge_b1), G1_CURVE)
+        msm_b2 = self._msm(self.points_b2, self._merge_scalars(w, self._merge_b2), G2_CURVE)
+        msm_c = self._msm(self.points_c, self._merge_scalars(w, self._merge_c), G1_CURVE)
         h = self._h_scalars(w)
-        msm_h = self._msm(self.points_h, h, G1_CURVE)
+        msm_h = self._msm(self.points_h, self._merge_scalars(h, self._merge_h), G1_CURVE)
 
         def dec(curve, p):
             return curve.decode_jacobian(JacPoint(*jax.tree.map(lambda v: v[None], p)))[0]
