@@ -1,24 +1,28 @@
 """Benchmark suite for the TPU Groth16 stack (BASELINE.md configs[1-4]).
 
-Round-4 structure (fixes the round-2/3 rc=124 truncations):
+Round-4 structure — every metric runs in its OWN SUBPROCESS:
 
-- ONE global deadline (BENCH_BUDGET_S, default 2100 s) governs the whole
-  run; every metric's watchdog is clamped to the time remaining, so the
-  process always finishes and exits 0 inside the driver window instead of
-  being killed mid-metric.
+- the round-3 in-process watchdogs left abandoned daemon threads holding
+  the chip (advisor finding), and one TPU-worker crash (observed at the
+  2^20 MSM after the full-prove phase filled HBM) poisoned every later
+  metric. A subprocess per metric means a hang is killed for real (the
+  child's device client dies with it), a crash is contained, and each
+  metric starts with a fresh, empty HBM.
+- ONE global deadline (BENCH_BUDGET_S, default 2100 s) governs the run;
+  every child's watchdog is clamped to the time remaining, so the bench
+  always exits 0 inside the driver window instead of being killed
+  mid-metric (the round-2/3 rc=124 failure mode).
 - metrics run in importance order: headline MSM first, then the flagship
-  full keyless proof (UNGATED — the round-3 BENCH_FULL env gate meant the
-  driver could never record it), then the large MSMs, NTTs, micro-ops, and
-  batch throughput.
+  full keyless proof (UNGATED — round 3's BENCH_FULL env gate meant the
+  driver could never record it), large MSMs, NTTs, micro-ops, batch
+  throughput.
 - bench inputs (random points/scalars) are generated once and disk-cached
-  under ~/.cache/keyless_zk_tpu/bench/, OUTSIDE any metric watchdog — the
-  round-3 G2 timeout was point *generation* (254-step double-and-add)
-  burning the measurement budget, not the MSM.
-- after any watchdog timeout the TPU may still be running the abandoned
-  computation, so all subsequent records carry "tainted": true (advisor
-  round-3 finding on guarded()).
+  under ~/.cache/keyless_zk_tpu/bench/ — the round-3 G2 timeout was point
+  *generation* (254-step double-and-add) burning the measurement budget,
+  not the MSM. The persistent XLA/AOT compile caches play the same role
+  for the kernels, so child re-warm cost is load, not compile.
 - the headline JSON line prints when measured and once more at the very
-  end (round-3 artifacts were six duplicate headline lines deep).
+  end.
 
 Anchors for vs_baseline derive from the reference profile (SURVEY §6): a
 rapidsnark-class 16-core CPU proves the full 1.38M-constraint circuit in
@@ -39,26 +43,30 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import subprocess
 import sys
-import threading
 import time
-import traceback
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 POINT_CACHE = os.path.expanduser("~/.cache/keyless_zk_tpu/bench")
-RESULTS = []
-HEADLINE = [None]
-TAINTED = [False]  # set after any watchdog timeout
-DEADLINE = [None]  # absolute monotonic deadline for the whole bench
+
+# (metric, budget_s, headline) in importance order. Budgets are upper
+# bounds; the global deadline clamps them.
+METRICS = [
+    ("msm_g1_2^16", 900, True),
+    ("full_keyless_proof", 1500, False),
+    ("msm_g1_2^20", 600, False),
+    ("msm_g2_2^16", 600, False),
+    ("ntt_2^16", 420, False),
+    ("ntt_2^21", 420, False),
+    ("mont_mul_fr", 300, False),
+    ("ec_madd_g1", 300, False),
+    ("proofs_per_sec", 600, False),
+]
 
 
-def _flush_local():
-    try:
-        with open(os.path.join(_REPO, "BENCH_LOCAL.json"), "w") as f:
-            json.dump(RESULTS, f, indent=1)
-    except OSError:
-        pass
-
+# --------------------------- child-side helpers ------------------------------
 
 def sync(out):
     """Force completion via a tiny host readback.
@@ -85,90 +93,23 @@ def timeit(fn, iters=3, warmup=1):
     return min(times)
 
 
-def emit(metric, value, unit, baseline, headline=False, **extra):
+def emit(metric, value, unit, baseline, **extra):
     rec = {
         "metric": metric,
         "value": round(value, 3),
         "unit": unit,
         "vs_baseline": round(baseline / value, 3) if baseline else None,
     }
-    if TAINTED[0]:
-        rec["tainted"] = True
     rec.update(extra)
-    RESULTS.append(rec)
-    _flush_local()
     print(json.dumps(rec), flush=True)
-    if headline:
-        HEADLINE[0] = rec
     return rec
-
-
-def emit_error(metric, err):
-    rec = {"metric": metric, "error": str(err)[:300], "value": None, "unit": None, "vs_baseline": None}
-    if TAINTED[0]:
-        rec["tainted"] = True
-    RESULTS.append(rec)
-    _flush_local()
-    print(json.dumps(rec), flush=True)
-
-
-def remaining() -> float:
-    return DEADLINE[0] - time.monotonic()
-
-
-def guarded(metric, budget_s, fn):
-    """Run fn() under a watchdog clamped to the global deadline.
-
-    On timeout: record the miss, mark the rest of the run tainted (the
-    abandoned daemon thread may still hold the chip), move on."""
-    budget = min(budget_s, remaining())
-    if budget < 30:
-        emit_error(metric, f"skipped: global budget exhausted ({remaining():.0f}s left)")
-        return False
-    box = {}
-
-    def run():
-        try:
-            fn()
-            box["ok"] = True
-        except Exception:  # noqa: BLE001
-            box["err"] = traceback.format_exc(limit=3)
-
-    t = threading.Thread(target=run, daemon=True)
-    t.start()
-    t.join(budget)
-    if t.is_alive():
-        emit_error(metric, f"watchdog timeout after {budget:.0f}s")
-        TAINTED[0] = True
-        return False
-    if "err" in box:
-        emit_error(metric, box["err"].strip().splitlines()[-1])
-        return False
-    return True
-
-
-def _probe_backend(timeout_s: float = 600.0):
-    """jax.devices() in a watchdog thread: the axon TPU tunnel sometimes
-    hangs indefinitely; better to report that than to wedge the bench."""
-    out = {}
-
-    def probe():
-        import jax
-
-        out["devices"] = [str(d) for d in jax.devices()]
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return out.get("devices")
 
 
 def cached_points(n: int, seed: int, g2: bool = False):
     """Random affine points, generated once per (n, curve) and disk-cached.
 
     Generation (a 254-step on-device double-and-add, ops/testgen.py) costs
-    more than the measurement at G2/2^20 sizes; it must never run inside a
-    metric watchdog twice."""
+    more than the measurement at G2/2^20 sizes; it must never be repaid."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -182,36 +123,24 @@ def cached_points(n: int, seed: int, g2: bool = False):
         return jnp.asarray(z["x"]), jnp.asarray(z["y"]), jnp.asarray(z["inf"])
     px, py, pinf = random_points(n, seed=seed, curve=G2_CURVE if g2 else G1_CURVE)
     os.makedirs(POINT_CACHE, exist_ok=True)
-    tmp = path + ".tmp"
+    tmp = path + f".tmp{os.getpid()}"
     with open(tmp, "wb") as f:
         np.savez(f, x=np.asarray(px), y=np.asarray(py), inf=np.asarray(pinf))
     os.replace(tmp, path)
     return px, py, pinf
 
 
-def main() -> int:
-    DEADLINE[0] = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S", "2100"))
-
+def _child(metric: str) -> None:
+    """Measure ONE metric and print its JSON record (run in a subprocess)."""
     from keyless_zk_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
 
-    devices = _probe_backend()
-    if devices is None:
-        print(
-            json.dumps(
-                {
-                    "metric": "msm_g1_2^16",
-                    "error": "device backend unavailable (axon tunnel timeout)",
-                    "value": None,
-                    "unit": "ms",
-                    "vs_baseline": None,
-                }
-            ),
-            flush=True,
-        )
-        return 0
-    print(json.dumps({"devices": devices}), flush=True)
+    if metric == "devices":
+        import jax
+
+        print(json.dumps({"devices": [str(d) for d in jax.devices()]}), flush=True)
+        return
 
     import jax
 
@@ -224,85 +153,62 @@ def main() -> int:
 
     get_plan = Groth16Prover._pick_plan  # MXU matmul NTT on TPU
 
-    quick = os.environ.get("BENCH_QUICK") == "1"
-    skip_full = os.environ.get("BENCH_SKIP_FULL") == "1"
+    if metric == "msm_g1_2^16":
+        n = 1 << 16
+        px, py, pinf = cached_points(n, seed=42)
+        scalars = random_scalars(n, seed=43)
+        jax.block_until_ready((px, py, scalars))
+        t = timeit(lambda: msm(px, py, pinf, scalars, curve=G1_CURVE))
+        emit(metric, t * 1e3, "ms", 100.0)
 
-    # ---- 1. MSM 2^16 G1 (headline — measured and printed FIRST) ------------
-    n = 1 << 16
-    px, py, pinf = cached_points(n, seed=42)
-    scalars = random_scalars(n, seed=43)
-    jax.block_until_ready((px, py, scalars))
+    elif metric == "full_keyless_proof":
+        sys.path.insert(0, _REPO)
+        from scripts.full_prove_tpu import run_full_prove
 
-    t = timeit(lambda: msm(px, py, pinf, scalars, curve=G1_CURVE))
-    emit("msm_g1_2^16", t * 1e3, "ms", 100.0, headline=True)
+        res = run_full_prove(config="full", repeat=2)
+        emit(
+            metric,
+            res["prove_ms"],
+            "ms",
+            3000.0,
+            phases=res.get("phases"),
+            cold_ms=res.get("cold_ms"),
+        )
 
-    if quick:
-        print(json.dumps(HEADLINE[0]), flush=True)
-        _flush_local()
-        return 0
-
-    # ---- 2. full keyless proof (THE flagship; BASELINE configs[3]) ---------
-    if not skip_full:
-        def full_bench():
-            sys.path.insert(0, _REPO)
-            from scripts.full_prove_tpu import run_full_prove
-
-            res = run_full_prove(config="full", repeat=2)
-            emit(
-                "full_keyless_proof",
-                res["prove_ms"],
-                "ms",
-                3000.0,
-                phases=res.get("phases"),
-                cold_ms=res.get("cold_ms"),
-            )
-
-        guarded("full_keyless_proof", 1500, full_bench)
-
-    # ---- 3. MSM 2^20 G1 (H-polynomial scale, groth16.cpp:281-286) ----------
-    def g1_20_bench():
+    elif metric == "msm_g1_2^20":
         n20 = 1 << 20
         px20, py20, pinf20 = cached_points(n20, seed=45)
         sc20 = random_scalars(n20, seed=46)
         jax.block_until_ready((px20, sc20))
         t20 = timeit(lambda: msm(px20, py20, pinf20, sc20, curve=G1_CURVE), iters=2)
-        emit("msm_g1_2^20", t20 * 1e3, "ms", 1600.0)
+        emit(metric, t20 * 1e3, "ms", 1600.0)
 
-    guarded("msm_g1_2^20", 600, g1_20_bench)
-
-    # ---- 4. MSM 2^16 G2 (B2, groth16.cpp:85-112) ----------------------------
-    def g2_bench():
+    elif metric == "msm_g2_2^16":
+        n = 1 << 16
         qx, qy, qinf = cached_points(n, seed=44, g2=True)
-        jax.block_until_ready(qx)
+        scalars = random_scalars(n, seed=43)
+        jax.block_until_ready((qx, scalars))
         tg2 = timeit(lambda: msm(qx, qy, qinf, scalars, curve=G2_CURVE), iters=2)
-        emit("msm_g2_2^16", tg2 * 1e3, "ms", 300.0)
+        emit(metric, tg2 * 1e3, "ms", 300.0)
 
-    guarded("msm_g2_2^16", 600, g2_bench)
-
-    # ---- 5/6. NTT (fft.cpp:191-246 at per-proof domains) --------------------
-    def ntt16_bench():
+    elif metric == "ntt_2^16":
         plan16 = get_plan(16)
         poly = random_scalars(1 << 16, seed=3)
         ntt16 = jax.jit(plan16.ntt)
         tn = timeit(lambda: ntt16(poly))
-        emit("ntt_2^16", tn * 1e3, "ms", 4.0)
+        emit(metric, tn * 1e3, "ms", 4.0)
 
-    guarded("ntt_2^16", 300, ntt16_bench)
-
-    def ntt21_bench():
+    elif metric == "ntt_2^21":
         plan21 = get_plan(21)
         poly21 = random_scalars(1 << 21, seed=4)
         ntt21 = jax.jit(plan21.ntt)
         tn21 = timeit(lambda: ntt21(poly21), iters=2)
-        emit("ntt_2^21", tn21 * 1e3, "ms", 125.0)
+        emit(metric, tn21 * 1e3, "ms", 125.0)
 
-    guarded("ntt_2^21", 420, ntt21_bench)
-
-    # ---- 7/8. micro-ops ------------------------------------------------------
-    def mont_mul_bench():
+    elif metric == "mont_mul_fr":
         # measures the production path: jf.mont_mul dispatches to the Pallas
         # limb-major kernel on TPU. sol_pct scores against the VPU CIOS
-        # speed-of-light (~1.4e9/s derived in BASELINE.md appendix).
+        # speed-of-light (~1.4e9/s, derived in BASELINE.md appendix).
         m = 1 << 22
         a = random_scalars(m, seed=1).reshape(m, 16)
         b = random_scalars(m, seed=2).reshape(m, 16)
@@ -310,40 +216,120 @@ def main() -> int:
         mm = jax.jit(lambda x, y: jf.mont_mul(x, y, FR))
         tm = timeit(lambda: mm(a, b))
         gops = m / tm / 1e9
-        rec = emit("mont_mul_fr", gops, "Gops/s", None, sol_pct=round(100 * gops / 1.4, 1))
-        rec["vs_baseline"] = round(gops / 1.0, 3)  # anchor: ~1e9 muls/s, 16 cores
-        _flush_local()
+        emit(
+            metric, gops, "Gops/s", None,
+            sol_pct=round(100 * gops / 1.4, 1),
+            vs_baseline=round(gops / 1.0, 3),  # anchor ~1e9 muls/s, 16 cores
+        )
 
-    guarded("mont_mul_fr", 300, mont_mul_bench)
-
-    def ec_madd_bench():
+    elif metric == "ec_madd_g1":
+        n = 1 << 16
+        px, py, pinf = cached_points(n, seed=42)
         acc = G1_CURVE.from_affine(px, py, pinf)
         madd = jax.jit(lambda p, x, y, i: G1_CURVE.add_mixed(p, x, y, i))
         te = timeit(lambda: madd(acc, px, py, pinf))
-        emit("ec_madd_g1", n / te / 1e6, "Mops/s", None)
+        emit(metric, n / te / 1e6, "Mops/s", None)
 
-    guarded("ec_madd_g1", 240, ec_madd_bench)
-
-    # ---- 9. batched prover throughput (BASELINE configs[4]) -----------------
-    def batch_bench():
+    elif metric == "proofs_per_sec":
         sys.path.insert(0, _REPO)
         from scripts.bench_batch_tpu import run_batch_bench
 
         res = run_batch_bench()
-        emit(
-            "proofs_per_sec",
-            res["proofs_per_sec"],
-            "proofs/s",
-            None,
-            batch=res.get("batch"),
-        )
+        emit(metric, res["proofs_per_sec"], "proofs/s", None, batch=res.get("batch"))
 
-    guarded("proofs_per_sec", 600, batch_bench)
+    else:
+        raise SystemExit(f"unknown metric {metric}")
 
-    # final line: the headline, once
-    if HEADLINE[0] is not None:
-        print(json.dumps(HEADLINE[0]), flush=True)
-    _flush_local()
+
+# --------------------------- parent orchestration ----------------------------
+
+def _error_rec(metric, err):
+    return {
+        "metric": metric, "error": str(err)[:300],
+        "value": None, "unit": None, "vs_baseline": None,
+    }
+
+
+def _run_child(metric: str, budget_s: float, results: list) -> dict | None:
+    """Run one metric subprocess; returns its record (or an error record).
+
+    The child is its own process group; on timeout the whole group gets
+    SIGKILL, which tears down its device client and frees the chip."""
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--one", metric],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        start_new_session=True,
+        cwd=_REPO,
+    )
+    rec = None
+    try:
+        out, _ = proc.communicate(timeout=budget_s)
+        for line in out.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                cand = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if cand.get("metric") == metric or "devices" in cand:
+                rec = cand
+        if rec is None:
+            rec = _error_rec(metric, f"child exited rc={proc.returncode} with no record")
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+        proc.wait()
+        rec = _error_rec(metric, f"watchdog timeout after {budget_s:.0f}s (child killed)")
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
+    try:
+        with open(os.path.join(_REPO, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(results, f, indent=1)
+    except OSError:
+        pass
+    return rec
+
+
+def main() -> int:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        _child(sys.argv[2])
+        return 0
+
+    deadline = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S", "2100"))
+    results: list = []
+    headline = None
+
+    dev_rec = _run_child("devices", min(600.0, deadline - time.monotonic()), results)
+    if not dev_rec or "devices" not in dev_rec:
+        print(json.dumps(_error_rec("msm_g1_2^16", "device backend unavailable")), flush=True)
+        return 0
+
+    quick = os.environ.get("BENCH_QUICK") == "1"
+    skip_full = os.environ.get("BENCH_SKIP_FULL") == "1"
+
+    for metric, budget, is_headline in METRICS:
+        if metric == "full_keyless_proof" and skip_full:
+            continue
+        remaining = deadline - time.monotonic()
+        if remaining < 45:
+            print(
+                json.dumps(_error_rec(metric, f"skipped: global budget exhausted ({remaining:.0f}s left)")),
+                flush=True,
+            )
+            continue
+        rec = _run_child(metric, min(budget, remaining), results)
+        if is_headline and rec and rec.get("value") is not None:
+            headline = rec
+        if quick and is_headline:
+            break
+
+    if headline is not None:
+        print(json.dumps(headline), flush=True)
     return 0
 
 

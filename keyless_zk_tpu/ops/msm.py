@@ -281,7 +281,7 @@ def msm(
 
         cw = c or fused_window_bits(n)
         Wn = -(-SCALAR_BITS // cw)
-        g = _fused_group_size(scan_v * (-(-n // scan_v)), Wn, field_for(tag).rows)
+        g = _fused_group_size(scan_v * (-(-n // scan_v)), Wn, field_for(tag).rows, scan_v)
         fn = jax.jit(
             _ft.partial(
                 _msm_pippenger_fused.__wrapped__,
@@ -300,19 +300,26 @@ def msm(
     )
 
 
-def _fused_group_size(n_p: int, Wn: int, R: int) -> int:
+def _fused_group_size(n_p: int, Wn: int, R: int, v: int) -> int:
     """Windows processed per scan-kernel launch (lane-axis folding).
 
     Folding all windows into one window_scan invocation turns Wn serialized
     per-window dispatch rounds (sorted-stream gathers, scan, merge, bucket
     gathers) into ONE kernel chain — the round-3 per-window lax.map paid
-    ~2.3 ms of fixed overhead per window at 2^16 (probe_fused_stages). The
-    group size is capped by HBM: each folded window holds a gathered point
-    stream (2 coords) plus a 3-coordinate emit buffer, R*n_p*4*5 bytes.
+    ~2.3 ms of fixed overhead per window at 2^16 (probe_fused_stages). Two
+    caps: HBM (each folded window holds a gathered point stream (2 coords)
+    plus a 3-coordinate emit buffer, R*n_p*4*5 bytes) and VMEM (the scan
+    kernel keeps ~14 point-sized windows resident — 2 gathered inputs,
+    3 emit + 6 head/tail outputs, 3 accumulator scratch rows — at
+    R*(8*Vg/8)*4 bytes each; a G2 fold at Vg = 104k lanes OOM'd the
+    100 MB scoped-vmem budget through register-allocator spills).
     """
     cap = int(os.environ.get("KEYLESS_MSM_GROUP_BYTES", str(6 << 30)))
     per_win = n_p * R * 4 * 5
-    g_max = max(1, min(Wn, cap // max(per_win, 1)))
+    g_hbm = cap // max(per_win, 1)
+    vmem_cap = 60 << 20  # leave headroom under the 100 MB scoped budget
+    g_vmem = vmem_cap // (14 * R * 4 * v)
+    g_max = max(1, min(Wn, g_hbm, g_vmem))
     # round so groups divide Wn as evenly as possible: a padded window costs
     # a full n_p-add scan lap (e.g. Wn=16, g_max=13 would scan 26 windows)
     n_groups = -(-Wn // g_max)
@@ -361,7 +368,7 @@ def _msm_pippenger_fused(
     NB_pad = -(-NB // pallas_msm.RV) * pallas_msm.RV
 
     if g is None:
-        g = _fused_group_size(n_p, Wn, R)
+        g = _fused_group_size(n_p, Wn, R, v)
     g = min(g, Wn)
     n_groups = -(-Wn // g)
     Wn_pad = n_groups * g
@@ -420,7 +427,6 @@ def _msm_pippenger_fused(
             (keys, payload), num_keys=1, is_stable=False, dimension=1
         )
 
-    bvals = jax.lax.iota(jnp.int32, NB_pad)
     warr = jax.lax.iota(jnp.int32, g)  # window slot within the group
 
     def group_tables(args):
@@ -468,37 +474,60 @@ def _msm_pippenger_fused(
             tag, bkeys, inter(hx, tx), inter(hy, ty), inter(hz, tz)
         )  # (g, R, 2V) x3
 
-        # dense bucket tables via searchsorted gathers (no scatter)
-        starts = _searchsorted_rows(kw, jnp.broadcast_to(bvals, (g, NB_pad)))
-        ends = _searchsorted_rows(kw, jnp.broadcast_to(bvals + 1, (g, NB_pad))) - 1
+        # dense bucket tables: per-bucket start/end positions come from ONE
+        # sorted segment_min/max over the window-offset keys (the round-4
+        # searchsorted bisection cost 17 serialized take_along_axis rounds
+        # at ~1-3 ms each on TPU — ~60 ms of pure dispatch at 2^16), and the
+        # emit/merge reads collapse into ONE flat gather. Sentinel keys
+        # (pads -1/-2, digit 0) clip to bucket 0, whose weight in
+        # sum_b b*B_b is exactly zero (on-curve junk there cancels in the
+        # weighted reduction's linear combination).
+        off = warr[:, None] * NB_pad  # (g, 1)
+        pos = jnp.broadcast_to(
+            jax.lax.iota(jnp.int32, n_p), (g, n_p)
+        ).reshape(-1)
+        flatbin = (jnp.clip(kw, 0, NB_pad - 1) + off).reshape(-1)
+        ends = jax.ops.segment_max(
+            pos, flatbin, g * NB_pad, indices_are_sorted=True
+        ).reshape(g, NB_pad)
+        starts = jax.ops.segment_min(
+            pos, flatbin, g * NB_pad, indices_are_sorted=True
+        ).reshape(g, NB_pad)
         interior = (
             (ends >= starts)
             & (starts // L == ends // L)
             & (starts % L != 0)
             & (ends % L != L - 1)
         )
-        # global flat emit position: slab (ends%L)+1, lane w*V + ends//L
-        col = _sel(
-            interior, (ends % L + 1) * Vg + warr[:, None] * V + ends // L, 0
-        )  # (g, NB_pad)
-        lpos = jnp.minimum(
-            _searchsorted_rows(bkeys, jnp.broadcast_to(bvals, (g, NB_pad))),
-            2 * V - 1,
-        )
-        has = (jnp.take_along_axis(bkeys, lpos, axis=1) == bvals) & ~interior
+        # merged-boundary leader position per bucket (first occurrence in
+        # the cummax-filled boundary key sequence)
+        pos2 = jnp.broadcast_to(
+            jax.lax.iota(jnp.int32, 2 * V), (g, 2 * V)
+        ).reshape(-1)
+        flatbin2 = (jnp.clip(bkeys, 0, NB_pad - 1) + off).reshape(-1)
+        lpos = jax.ops.segment_min(
+            pos2, flatbin2, g * NB_pad, indices_are_sorted=True
+        ).reshape(g, NB_pad)
+        has = (lpos < 2 * V) & ~interior
 
-        eflat = ex.reshape(R, Mg), ey.reshape(R, Mg), ez.reshape(R, Mg)
-        mflat = mx, my, mz
+        # one gather from [emit | merged | one infinity column]
+        # emit flat index: slab (ends%L)+1, lane w*V + ends//L
+        ecol = (ends % L + 1) * Vg + warr[:, None] * V + ends // L
+        mcol = Mg + warr[:, None] * 2 * V + jnp.clip(lpos, 0, 2 * V - 1)
+        idx = _sel(interior, ecol, _sel(has, mcol, Mg + g * 2 * V)).reshape(-1)
         outs = []
-        im = interior[:, None, :]  # (g, 1, NB_pad)
-        hm = has[:, None, :]
-        lpos3 = lpos[:, None, :]
-        for e, m in zip(eflat, mflat):
-            egath = e[:, col.reshape(-1)].reshape(R, g, NB_pad).transpose(1, 0, 2)
-            mgath = jnp.take_along_axis(
-                m, jnp.broadcast_to(lpos3, (g, R, NB_pad)), axis=2
+        for e, m in zip((ex, ey, ez), (mx, my, mz)):
+            src = jnp.concatenate(
+                [
+                    e.reshape(R, Mg),
+                    jnp.moveaxis(m, 1, 0).reshape(R, g * 2 * V),
+                    jnp.zeros((R, 1), jnp.uint32),
+                ],
+                axis=1,
             )
-            outs.append(_sel(im, egath, _sel(hm, mgath, jnp.uint32(0))))
+            outs.append(
+                src[:, idx].reshape(R, g, NB_pad).transpose(1, 0, 2)
+            )
         return tuple(outs)  # (g, R, NB_pad) x3
 
     kg = keys_s.reshape(n_groups, g, n_p)

@@ -43,6 +43,12 @@ def _points_from_scalars(gx, gy, scalars, *, curve: JacobianCurve):
     return curve.to_affine(acc)
 
 
+# elements per device generation pass: the monolithic 2^20 double-and-add
+# graph crashed the (remote) TPU worker outright; chunking bounds peak
+# memory and reuses one compiled chunk shape.
+_GEN_CHUNK = 1 << 16
+
+
 def random_points(n: int, seed: int = 0, curve: JacobianCurve | None = None):
     """n distinct-w.h.p. random affine points: (x, y, inf) device arrays."""
     curve = curve or G1_CURVE
@@ -50,8 +56,24 @@ def random_points(n: int, seed: int = 0, curve: JacobianCurve | None = None):
     gx, gy, _ = curve.encode_affine([gen])
     rng = np.random.default_rng(seed)
     vals = [1 + int.from_bytes(rng.bytes(32), "little") % (FR.p - 1) for _ in range(n)]
-    scalars = jnp.asarray(ints_to_limbs(vals))
-    return _points_from_scalars(gx[0], gy[0], scalars, curve=curve)
+    if n <= _GEN_CHUNK:
+        scalars = jnp.asarray(ints_to_limbs(vals))
+        return _points_from_scalars(gx[0], gy[0], scalars, curve=curve)
+    xs, ys, infs = [], [], []
+    for s in range(0, n, _GEN_CHUNK):
+        chunk = vals[s : s + _GEN_CHUNK]
+        pad = _GEN_CHUNK - len(chunk)  # keep one compiled shape
+        scalars = jnp.asarray(ints_to_limbs(chunk + [1] * pad))
+        x, y, inf = _points_from_scalars(gx[0], gy[0], scalars, curve=curve)
+        m = len(chunk)
+        xs.append(np.asarray(x)[:m])
+        ys.append(np.asarray(y)[:m])
+        infs.append(np.asarray(inf)[:m])
+    return (
+        jnp.asarray(np.concatenate(xs)),
+        jnp.asarray(np.concatenate(ys)),
+        jnp.asarray(np.concatenate(infs)),
+    )
 
 
 def random_scalars(n: int, seed: int = 1) -> jnp.ndarray:
