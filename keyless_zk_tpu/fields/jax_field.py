@@ -288,17 +288,17 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray, spec: FieldSpec) -> jnp.ndarray:
     runs ~50x slower than the VMEM-resident kernel schedule (round-3 bench:
     0.021 vs ~1 Gops/s). The XLA form remains the portable fallback and the
     differential-test oracle.
-    """
-    import os
 
+    Dispatch is decided at TRACE time from the import-time NO_PALLAS flag
+    (utils/flags.py: KEYLESS_NO_PALLAS must be set before the first trace)
+    and the process default backend; the choice is frozen into jit caches.
+    """
     import numpy as np
 
+    from ..utils.flags import NO_PALLAS
+
     n = int(np.prod(jnp.broadcast_shapes(a.shape, b.shape)[:-1] or (1,)))
-    if (
-        n >= (1 << 12)
-        and jax.default_backend() == "tpu"
-        and os.environ.get("KEYLESS_NO_PALLAS") != "1"
-    ):
+    if n >= (1 << 12) and jax.default_backend() == "tpu" and not NO_PALLAS:
         from ..ops.pallas_field import mont_mul_pallas
 
         shape = jnp.broadcast_shapes(a.shape, b.shape)

@@ -196,13 +196,9 @@ class Groth16Prover:
         """On real TPUs with a radix-128-decomposable domain, use the MXU
         matmul NTT (12.7x the butterfly transform at 2^21 on v5e — see
         ops/mxu_ntt.py); the butterfly plan everywhere else."""
-        import os
+        from ..utils.flags import NO_PALLAS
 
-        if (
-            jax.default_backend() == "tpu"
-            and domain_pow >= 7
-            and os.environ.get("KEYLESS_NO_PALLAS") != "1"
-        ):
+        if jax.default_backend() == "tpu" and domain_pow >= 7 and not NO_PALLAS:
             from ..ops.mxu_ntt import get_mxu_plan
 
             return get_mxu_plan(domain_pow)

@@ -56,8 +56,9 @@ _PALLAS_CURVES = {}
 def _fused_tag(curve):
     """Field tag for the fused Pallas path, or None to use the XLA path."""
     from ..curves.jacobian import G1_CURVE, G2_CURVE
+    from ..utils.flags import NO_PALLAS
 
-    if jax.default_backend() != "tpu" or os.environ.get("KEYLESS_NO_PALLAS") == "1":
+    if jax.default_backend() != "tpu" or NO_PALLAS:
         return None
     if curve is G1_CURVE:
         return "fq"
@@ -131,27 +132,6 @@ def _searchsorted(keys: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
         done = lo >= hi
         mid = jnp.minimum((lo + hi) >> 1, m - 1)
         kv = keys[mid]
-        go = kv < vals
-        lo2 = _sel(go, mid + 1, lo)
-        hi2 = _sel(go, hi, mid)
-        return (_sel(done, lo, lo2), _sel(done, hi, hi2))
-
-    lo = jnp.zeros_like(vals)
-    hi = jnp.full_like(vals, m)
-    lo, _ = jax.lax.fori_loop(0, (m + 1).bit_length(), body, (lo, hi))
-    return lo
-
-
-def _searchsorted_rows(keys: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
-    """Row-batched left-bisect: keys (g, m) row-sorted, vals (g, k) ->
-    (g, k) insert positions. Same lax-only bisection as _searchsorted."""
-    g, m = keys.shape
-
-    def body(_, lohi):
-        lo, hi = lohi
-        done = lo >= hi
-        mid = jnp.minimum((lo + hi) >> 1, m - 1)
-        kv = jnp.take_along_axis(keys, mid, axis=1)
         go = kv < vals
         lo2 = _sel(go, mid + 1, lo)
         hi2 = _sel(go, hi, mid)

@@ -121,18 +121,18 @@ _CHUNK = 4096  # batch elements per matmul chunk (bounds the s32 output block)
 def _use_pallas_redc(n_elems: int) -> bool:
     """Route the reduction through the Pallas kernel on real TPUs when the
     chunk aligns with the kernel tile (r*cb multiple of 2048)."""
-    import os
+    from ..utils.flags import NO_PALLAS
 
-    if os.environ.get("KEYLESS_NO_PALLAS") == "1":
+    if NO_PALLAS:
         return False
     return jax.default_backend() == "tpu" and n_elems % 2048 == 0
 
 
 def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Elementwise Montgomery multiply: Pallas kernel on TPU, XLA elsewhere."""
-    import os
+    from ..utils.flags import NO_PALLAS
 
-    if jax.default_backend() == "tpu" and os.environ.get("KEYLESS_NO_PALLAS") != "1":
+    if jax.default_backend() == "tpu" and not NO_PALLAS:
         from .pallas_field import mont_mul_pallas
 
         return mont_mul_pallas(a, jnp.broadcast_to(b, a.shape), FR)
@@ -312,6 +312,11 @@ class MxuNTTPlan:
         os.makedirs(root, exist_ok=True)
         return os.path.join(root, f"mxu_ntt_plan_{self.domain_pow}.npz")
 
+    # Bump when _build's table layout changes: stale cached tables from an
+    # older layout must not load (the "version" key; files written before
+    # versioning carry the original layout = version 1).
+    PLAN_FORMAT_VERSION = 1
+
     def _load_cached(self) -> bool:
         import os
 
@@ -320,6 +325,9 @@ class MxuNTTPlan:
             return False
         try:
             z = np.load(path, allow_pickle=False)
+            ver = int(z["version"]) if "version" in z.files else 1
+            if ver != self.PLAN_FORMAT_VERSION:
+                return False
             if list(z["factors"]) != self.factors:
                 return False
 
@@ -349,7 +357,10 @@ class MxuNTTPlan:
     def _save_cache(self) -> None:
         import os
 
-        arrays = {"factors": np.asarray(self.factors)}
+        arrays = {
+            "factors": np.asarray(self.factors),
+            "version": np.asarray(self.PLAN_FORMAT_VERSION),
+        }
         for prefix, tables in (("f", self.tables), ("i", self.tables_inv)):
             for i, (wb, rs, tw) in enumerate(tables):
                 arrays[f"{prefix}wb{i}"] = np.asarray(wb)

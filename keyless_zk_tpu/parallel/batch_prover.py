@@ -122,24 +122,24 @@ class BatchProver:
         B = len(witnesses)
         w = jnp.asarray(np.stack(witnesses))  # (B, nVars, 16)
 
-        def one_msm(table, curve):
+        def one_msm(table, merge, curve, scalars=None):
+            # merge duplicate-row scalars per witness (the deduped tables
+            # hold n_unique rows; feeding raw n_vars scalars would silently
+            # clip the out-of-range gathers — groth16/prover.py:70-105)
             def single(wi):
+                wi = Groth16Prover._merge_scalars(wi, merge)
                 pt = msm(*table, wi, curve=curve, lanes=self.prover.lanes)
                 return pt.x, pt.y, pt.z
 
-            return jax.vmap(single)(w)
+            return jax.vmap(single)(w if scalars is None else scalars)
 
-        msm_a = one_msm(self.prover.points_a, G1_CURVE)
-        msm_b1 = one_msm(self.prover.points_b1, G1_CURVE)
-        msm_b2 = one_msm(self.prover.points_b2, G2_CURVE)
-        msm_c = one_msm(self.prover.points_c, G1_CURVE)
-        h = jax.vmap(self.prover._h_scalars)(w)
-
-        def single_h(hi):
-            pt = msm(*self.prover.points_h, hi, curve=G1_CURVE, lanes=self.prover.lanes)
-            return pt.x, pt.y, pt.z
-
-        msm_h = jax.vmap(single_h)(h)
+        p = self.prover
+        msm_a = one_msm(p.points_a, p._merge_a, G1_CURVE)
+        msm_b1 = one_msm(p.points_b1, p._merge_b1, G1_CURVE)
+        msm_b2 = one_msm(p.points_b2, p._merge_b2, G2_CURVE)
+        msm_c = one_msm(p.points_c, p._merge_c, G1_CURVE)
+        h = jax.vmap(p._h_scalars)(w)
+        msm_h = one_msm(p.points_h, p._merge_h, G1_CURVE, scalars=h)
 
         proofs = []
         g1, g2 = ref_curve.G1, ref_curve.G2

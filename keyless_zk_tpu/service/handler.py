@@ -75,7 +75,8 @@ def _route(state, method: str, path: str, body: bytes) -> tuple[int, dict]:
                 pass
         return 200, state.handle_prove(body)
     if method == "GET" and path == "/healthcheck":
-        return 200, {"status": "ok"}
+        ok, why = state.healthy() if hasattr(state, "healthy") else (True, "ok")
+        return (200, {"status": "ok"}) if ok else (503, {"status": "unhealthy", "reason": why})
     if method == "GET" and path == "/about":
         # deployment_information.rs:12-60: build info + TW pubkey
         return 200, {

@@ -142,3 +142,8 @@ JWT_ATTRIBUTE_SIZES = REGISTRY.histogram(
 PROOFS_TOTAL = REGISTRY.counter(
     "keyless_prover_service_proofs_total", "Proofs attempted", ("outcome",)
 )
+PAIRING_BACKEND = REGISTRY.counter(
+    "keyless_prover_service_pairing_backend",
+    "Groth16 verification pairing backend selected at startup",
+    ("backend",),
+)

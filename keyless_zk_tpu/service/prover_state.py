@@ -144,6 +144,37 @@ class ProverServiceState:
             from ..parallel.batch_prover import BatchProver
 
             self.batch_prover = BatchProver(self.prover, max_batch=self.config.max_batch)
+        self.check_pairing_backend()
+
+    def check_pairing_backend(self) -> str:
+        """Probe which pairing implementation verify_proof will use and make
+        degradation loud: a gcc-less box silently falls back to the ~1.4 s
+        pure-Python verifier (groth16/pairing.py docstring) — log it, count
+        it, and (with config.require_native_pairing) fail the healthcheck.
+        """
+        from ..groth16 import pairing_native
+        from ..utils.logging import log_event
+        from .metrics import PAIRING_BACKEND
+
+        backend = "native" if pairing_native.available() else "python_fallback"
+        self.pairing_backend = backend
+        PAIRING_BACKEND.inc(backend=backend)
+        if backend != "native":
+            log_event(
+                "native pairing library unavailable; Groth16 verification "
+                "falls back to the pure-Python tower (~100x slower)",
+                level="WARN",
+                backend=backend,
+            )
+        return backend
+
+    def healthy(self) -> tuple[bool, str]:
+        """Liveness verdict for /healthcheck (handler.rs:107-111), extended
+        with the native-pairing production guard."""
+        backend = getattr(self, "pairing_backend", None)
+        if self.config.require_native_pairing and backend != "native":
+            return False, f"native pairing required but backend is {backend}"
+        return True, "ok"
 
     # ---- the prove pipeline (prover_handler.rs:48-152) --------------------
 

@@ -42,7 +42,7 @@ R = field_for(tag).rows
 L = -(-n // V)
 n_p = V * L
 Wn = -(-M.SCALAR_BITS // c)
-g = M._fused_group_size(n_p, Wn, R)
+g = M._fused_group_size(n_p, Wn, R, V)
 print(
     f"n=2^{N_POW} fused c={c} windows={Wn} V={V} group={g}", flush=True
 )

@@ -114,6 +114,92 @@ def test_eval_ab_chunk_size_invariance(monkeypatch):
     assert np.array_equal(np.asarray(base), np.asarray(chunked))
 
 
+def _dup_pk_and_split_witness(pk, w, seed=3):
+    """pk with every A/B1/B2/C row duplicated + witness split into two
+    half-scalars per wire (sum_i w_i P_i unchanged). Returns (pk2, wit2)."""
+    import dataclasses
+
+    from keyless_zk_tpu.fields.limbs import int_to_limbs
+    from keyless_zk_tpu.groth16.zkey import G1Table, G2Table
+
+    def dup_g1(t):
+        return G1Table(
+            x=np.concatenate([t.x, t.x]),
+            y=np.concatenate([t.y, t.y]),
+            inf=np.concatenate([t.inf, t.inf]),
+        )
+
+    def dup_g2(t):
+        return G2Table(
+            x=np.concatenate([t.x, t.x]),
+            y=np.concatenate([t.y, t.y]),
+            inf=np.concatenate([t.inf, t.inf]),
+        )
+
+    n = pk.n_vars
+    rng = np.random.default_rng(seed)
+    w_ints = [int(v) for v in limbs_to_ints(w)]
+    k = [int(x) for x in rng.integers(1, 1 << 61, n)]
+    w_a = np.stack([np.asarray(int_to_limbs(x), np.uint32) for x in k])
+    w_b = np.stack(
+        [
+            np.asarray(int_to_limbs((wi - ki) % bn254.R_SCALAR), np.uint32)
+            for wi, ki in zip(w_ints, k)
+        ]
+    )
+    wit2 = np.concatenate([w_a, w_b])
+    pad_c = n - pk.points_c.x.shape[0]
+    c_padded = G1Table(
+        x=np.pad(pk.points_c.x, [(pad_c, 0), (0, 0)]),
+        y=np.pad(pk.points_c.y, [(pad_c, 0), (0, 0)]),
+        inf=np.pad(pk.points_c.inf, [(pad_c, 0)], constant_values=True),
+    )
+    pk2 = dataclasses.replace(
+        pk,
+        n_vars=2 * n,
+        points_a=dup_g1(pk.points_a),
+        points_b1=dup_g1(pk.points_b1),
+        points_b2=dup_g2(pk.points_b2),
+        points_c=dup_g1(c_padded),
+    )
+    return pk2, wit2
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(TOY), reason="reference toy artifacts unavailable"
+)
+def test_batch_prove_with_duplicated_table_rows():
+    """prove_batch on a pk whose tables contain duplicate rows must merge
+    each witness's duplicate-row scalars before the MSMs (the round-4 code
+    fed raw n_vars scalars to msm over n_unique-row tables; JAX clips the
+    out-of-range gathers, yielding silently wrong proofs)."""
+    import jax.numpy as jnp
+
+    from keyless_zk_tpu.groth16 import load_wtns, load_zkey, verify_groth16
+    from keyless_zk_tpu.parallel.batch_prover import BatchProver
+
+    pk, w = load_zkey(TOY + "toy_1.zkey"), load_wtns(TOY + "toy.wtns")
+    pk2, wit2 = _dup_pk_and_split_witness(pk, w.values)
+
+    prover = Groth16Prover(pk2)
+    assert prover._merge_a is not None  # the dup path must actually engage
+    orig_eval = prover._eval_ab
+    # coef table reads witness[s]; the duplicated layout splits wire values
+    # across two rows the coef evaluation cannot see — evaluate with the
+    # true witness instead (same patch as the single-prove test above).
+    prover._eval_ab = lambda _: orig_eval(jnp.asarray(w.values))
+
+    batch = BatchProver(prover, max_batch=2)
+    try:
+        proofs = batch.prove_batch([wit2, wit2])
+    finally:
+        batch.shutdown()
+    vk = json.load(open(TOY + "toy_vk.json"))
+    pub = limbs_to_ints(w.values[1 : 1 + pk.n_public])
+    for proof in proofs:
+        assert verify_groth16(vk, pub, proof.to_json_dict())
+
+
 @pytest.mark.skipif(
     not __import__("os").path.isdir(TOY), reason="reference toy artifacts unavailable"
 )

@@ -256,3 +256,38 @@ def test_http_backpressure_gate():
         finally:
             release.set()
             srv.shutdown()
+
+
+def test_native_pairing_fallback_guard(monkeypatch, capsys):
+    """When the native pairing library is unavailable the service must say
+    so loudly: WARN log line, backend metric, and — under
+    require_native_pairing — a failing /healthcheck (VERDICT r4 weak #7:
+    the silent ~100x verify degradation)."""
+    from keyless_zk_tpu.groth16 import pairing_native
+    from keyless_zk_tpu.service.metrics import PAIRING_BACKEND, REGISTRY
+
+    state = _state()
+    state.config.require_native_pairing = True
+
+    monkeypatch.setattr(pairing_native, "available", lambda: False)
+    assert state.check_pairing_backend() == "python_fallback"
+    err = capsys.readouterr().err
+    assert "native pairing" in err and "WARN" in err
+    assert PAIRING_BACKEND._values.get(("python_fallback",), 0) >= 1
+    assert "pairing_backend" in REGISTRY.expose()
+
+    code, _, payload = handle_request(state, "GET", "/healthcheck", b"")
+    assert code == 503 and payload["status"] == "unhealthy"
+
+    # with the native library present the healthcheck recovers
+    monkeypatch.setattr(pairing_native, "available", lambda: True)
+    assert state.check_pairing_backend() == "native"
+    code, _, payload = handle_request(state, "GET", "/healthcheck", b"")
+    assert code == 200 and payload["status"] == "ok"
+
+    # without the production flag, fallback only warns — liveness stays ok
+    monkeypatch.setattr(pairing_native, "available", lambda: False)
+    state.config.require_native_pairing = False
+    state.check_pairing_backend()
+    code, _, _ = handle_request(state, "GET", "/healthcheck", b"")
+    assert code == 200

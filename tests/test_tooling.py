@@ -208,3 +208,89 @@ def test_zkey_cache_never_writes_foreign_dirs(tmp_path, monkeypatch):
         os.path.expanduser("~"), ".local", "share", "keyless_zk_tpu", "s", "k.zkey"
     )
     assert zkey_table_cache_path(store) == store + ".tables.npz"
+
+
+PROD_VK = "/root/reference/prover-service/resources/202405_vk.vkey"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(PROD_VK), reason="production VK sample unavailable"
+)
+def test_production_vk_converts_and_roundtrips():
+    """The May-2024 production VK sample (the reference ships it at
+    prover-service/resources/202405_vk.vkey; its converters are exercised
+    against on-chain data in vk-diff/src/main.rs:121-142) must convert to
+    the pinned on-chain compressed encoding, decompress back to the same
+    affine points, and pass vk_diff against itself."""
+    from keyless_zk_tpu.tooling.onchain_vk import (
+        decompress_g1,
+        decompress_g2,
+        snarkjs_vk_to_onchain,
+    )
+    from keyless_zk_tpu.tooling.vk_diff import diff_vks
+
+    vk = json.load(open(PROD_VK))
+    data = snarkjs_vk_to_onchain(vk)["data"]
+
+    # pinned conversion of the real production sample (ark-serialize
+    # compressed hex, snark_js_groth16.rs:63-106 semantics)
+    assert data["alpha_g1"] == (
+        "0xe2f26dbea299f5223b646cb1fb33eadb059d9407559d7441dfd902e3a79a4d2d"
+    )
+    assert data["beta_g2"] == (
+        "0xabb73dc17fbc13021e2471e0c08bd67d8401f52b73d6d07483794cad4778180e"
+        "0c06f33bbc4c79a9cadef253a68084d382f17788f885c9afd176f7cb2f036789"
+    )
+    assert data["delta_g2"] == (
+        "0x6176de7d77e614e09ef5e8e19cbf785ffed405d6531cee13cd71a46e2b4ef30d"
+        "eb18f6976c172bdcd7ea8ab2b509991bb5ce34f9fbb42486b78aac62a894a480"
+    )
+    assert data["gamma_abc_g1"] == [
+        "0x7e92d0c6818f2e51248cd1e8e82eb14521d990b0bb155ab0e3cf99b888bc5387",
+        "0xbe1ad9f5fec081770956f846e1d0ea97219a3f6499acc33e1a67aef6d6e16898",
+    ]
+    # gamma_g2 is the standard G2 generator — same bytes as the on-chain
+    # example pinned in keyless-common types.rs:43-60
+    assert data["gamma_g2"] == (
+        "0xedf692d95cbdde46ddda5ef7d422436779445c5e66006a42761e1f12efde0018"
+        "c212f3aeb785e49712e7a9353349aaf1255dfb31b7bf60723a480d9293938e19"
+    )
+
+    # decompress round-trip: every point returns to the sample's affines
+    a = decompress_g1(bytes.fromhex(data["alpha_g1"][2:]))
+    assert a == (int(vk["vk_alpha_1"][0]), int(vk["vk_alpha_1"][1]))
+    for key, src in (("beta_g2", "vk_beta_2"), ("delta_g2", "vk_delta_2"),
+                     ("gamma_g2", "vk_gamma_2")):
+        x, y = decompress_g2(bytes.fromhex(data[key][2:]))
+        assert x == (int(vk[src][0][0]), int(vk[src][0][1]))
+        assert y == (int(vk[src][1][0]), int(vk[src][1][1]))
+    for i in range(2):
+        x, y = decompress_g1(bytes.fromhex(data["gamma_abc_g1"][i][2:]))
+        assert (x, y) == (int(vk["IC"][i][0]), int(vk["IC"][i][1]))
+
+    # vk_diff: self-match is clean; a perturbed on-chain copy is flagged
+    assert diff_vks(vk, {"data": data}) == []
+    bad = dict(data)
+    bad["delta_g2"] = data["beta_g2"]
+    assert any("delta_g2" in d for d in diff_vks(vk, {"data": bad}))
+
+
+@pytest.mark.skipif(
+    not os.path.exists(PROD_VK), reason="production VK sample unavailable"
+)
+def test_vk_diff_cli_on_production_sample(tmp_path, capsys):
+    """vk-diff CLI end-to-end on the production sample (match -> rc 0,
+    mismatch -> rc 1, mirroring vk-diff/src/main.rs exit semantics)."""
+    from keyless_zk_tpu.tooling.onchain_vk import snarkjs_vk_to_onchain
+    from keyless_zk_tpu.tooling.vk_diff import main as vk_diff_main
+
+    onchain = snarkjs_vk_to_onchain(json.load(open(PROD_VK)))
+    ok_path = tmp_path / "onchain.json"
+    ok_path.write_text(json.dumps(onchain))
+    assert vk_diff_main(["--json", PROD_VK, "--onchain-file", str(ok_path)]) == 0
+
+    bad = json.loads(ok_path.read_text())
+    bad["data"]["alpha_g1"] = "0x" + "00" * 32
+    bad_path = tmp_path / "bad.json"
+    bad_path.write_text(json.dumps(bad))
+    assert vk_diff_main(["--json", PROD_VK, "--onchain-file", str(bad_path)]) == 1
