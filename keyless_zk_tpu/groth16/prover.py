@@ -99,9 +99,11 @@ def _dedup_point_table(x: np.ndarray, y: np.ndarray, inf: np.ndarray):
         return (x, y, inf), None
     order = np.argsort(inv, kind="stable").astype(np.int32)
     seg = inv[order].astype(np.int32)
+    # static segment boundaries for the sorted cumsum-diff reduction
+    bounds = np.searchsorted(seg, np.arange(n_unique + 1)).astype(np.int32)
     return (
         (x[first_idx], y[first_idx], inf[first_idx]),
-        (order, seg, int(n_unique)),
+        (order, bounds[:-1], bounds[1:], int(n_unique)),
     )
 
 
@@ -136,8 +138,8 @@ class Groth16Prover:
         def dedup_dev(x, y, inf):
             (ux, uy, uinf), merge = _dedup_point_table(x, y, inf)
             if merge is not None:
-                order, seg, nu = merge
-                merge = (dev(order), dev(seg), nu)
+                order, s_pos, e_pos, nu = merge
+                merge = (dev(order), dev(s_pos), dev(e_pos), nu)
             return (dev(ux), dev(uy), dev(uinf)), merge
 
         self.points_a, self._merge_a = dedup_dev(
@@ -182,7 +184,20 @@ class Groth16Prover:
         d_sorted = np.pad(dest, (0, pad), constant_values=2 * pk.domain_size - 1)
         v_sorted = np.pad(pk.coef_val[order], [(0, pad), (0, 0)])
         self.coef_s = dev(s_sorted.reshape(k, chunk))
-        self.coef_dest = dev(d_sorted.reshape(k, chunk))
+        # per chunk: covered dest-row range [d_lo, d_hi] (STATIC) and the
+        # segment boundaries of every row in that range — the per-proof
+        # reduction is then cumsum + two gathers + one static slice-add
+        # per chunk (jf.sorted_segment_sum_mod rationale).
+        self._coef_chunks = []
+        for ci in range(k):
+            dk = d_sorted[ci * chunk : (ci + 1) * chunk]
+            d_lo, d_hi = int(dk[0]), int(dk[-1])
+            bounds = np.searchsorted(dk, np.arange(d_lo, d_hi + 2)).astype(
+                np.int32
+            )
+            self._coef_chunks.append(
+                (d_lo, dev(bounds[:-1]), dev(bounds[1:]))
+            )
         # pre-scale Montgomery-stored coefs by R^2 (chunked): the reduction's
         # trailing REDC then lands values in the reference's raw-byte
         # representation.
@@ -216,39 +231,38 @@ class Groth16Prover:
         """
         if merge is None:
             return scalars
-        order, seg, n_unique = merge
+        order, s_pos, e_pos, _ = merge
         vals = jf.to_mont(jnp.take(scalars, order, axis=0), FR)
-        return jf.segment_sum_mod(vals, seg, n_unique, FR)
+        return jf.sorted_segment_sum_mod(vals, s_pos, e_pos, FR)
 
     def _eval_ab(self, witness: jnp.ndarray) -> jnp.ndarray:
         """Coefficient-table evaluation: witness -> concatenated a|b vectors
-        (2*domain, 16). The sorted table streams in _COEF_CHUNK slices under
-        a scan; raw 8-bit column sums accumulate across chunks (exact: each
-        segment holds < 2^23 terms) and fold to canonical limbs once.
+        (2*domain, 16). The sorted table streams in _COEF_CHUNK slices;
+        each chunk reduces via cumsum + static boundary gathers (no
+        scatter anywhere — XLA's segment_sum scatter-add measured ~10 s
+        across this pipeline on TPU) and lands in the accumulator with a
+        static slice-add (exact: each dest row holds < 2^23 8-bit terms).
         Replaces the reference's 1024-spinlock scatter (groth16.cpp:135-156).
         """
         m2 = 2 * self.pk.domain_size
-
-        def body(carry, sl):
-            s, v, d = sl
-            av = jf.mont_mul(jnp.take(witness, s, axis=0), v, FR)
+        acc_lo = jnp.zeros((m2, NUM_LIMBS), jnp.uint32)
+        acc_hi = jnp.zeros((m2, NUM_LIMBS), jnp.uint32)
+        zs = jnp.zeros((1, NUM_LIMBS), jnp.uint32)
+        for ci, (d_lo, s_pos, e_pos) in enumerate(self._coef_chunks):
+            av = jf.mont_mul(
+                jnp.take(witness, self.coef_s[ci], axis=0),
+                self.coef_val[ci],
+                FR,
+            )
             lo, hi = jf.split8(av)
-            acc_lo = carry[0] + jax.ops.segment_sum(
-                lo, d, m2, indices_are_sorted=True
-            )
-            acc_hi = carry[1] + jax.ops.segment_sum(
-                hi, d, m2, indices_are_sorted=True
-            )
-            return (acc_lo, acc_hi), None
-
-        init = (
-            jnp.zeros((m2, NUM_LIMBS), jnp.uint32),
-            jnp.zeros((m2, NUM_LIMBS), jnp.uint32),
-        )
-        (lo, hi), _ = jax.lax.scan(
-            body, init, (self.coef_s, self.coef_val, self.coef_dest)
-        )
-        return jf.fold_split8_mod(lo, hi, FR)
+            slo = jnp.concatenate([zs, jnp.cumsum(lo, axis=0, dtype=jnp.uint32)])
+            shi = jnp.concatenate([zs, jnp.cumsum(hi, axis=0, dtype=jnp.uint32)])
+            dlo = jnp.take(slo, e_pos, axis=0) - jnp.take(slo, s_pos, axis=0)
+            dhi = jnp.take(shi, e_pos, axis=0) - jnp.take(shi, s_pos, axis=0)
+            w = dlo.shape[0]
+            acc_lo = acc_lo.at[d_lo : d_lo + w].add(dlo)
+            acc_hi = acc_hi.at[d_lo : d_lo + w].add(dhi)
+        return jf.fold_split8_mod(acc_lo, acc_hi, FR)
 
     def _h_scalars(self, witness: jnp.ndarray) -> jnp.ndarray:
         """Witness -> MSM_H scalar vector (the NTT phase), fully on device."""

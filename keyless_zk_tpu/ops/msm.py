@@ -239,7 +239,7 @@ def msm(
     c: int | None = None,
     lanes: int = 1 << 12,
     small_threshold: int = 128,
-    scan_v: int = 1024,
+    scan_v: int | None = None,
     assume_distinct: bool = True,
 ) -> JacPoint:
     """sum_i scalars[i] * P_i.  Points affine (Montgomery), scalars standard.
@@ -248,6 +248,15 @@ def msm(
     skips the P==Q doubling fallback in the fused scan (see
     pallas_ec.madd_core for the safety argument); pass False for tables
     that may contain duplicate points.
+
+    On TPU the fused path first counts nonzero digits and compacts the
+    flat digit stream to the next power of two >= that count (see
+    _msm_pippenger_fused): real keyless witnesses are ~94% bit-valued
+    wires, whose digits vanish in every window but the lowest — 92.8%
+    of all digit slots measured zero — so compaction cuts the scan work
+    ~13x on the witness MSMs. Each distinct (n, cap) pair is its own
+    compiled/AOT-cached graph; caps are powers of two so the ladder
+    stays tiny and stable across requests.
     """
     n = scalars.shape[0]
     if n <= small_threshold:
@@ -256,20 +265,31 @@ def msm(
     if tag is not None:
         import functools as _ft
 
-        from .pallas_ec import field_for
         from ..utils.aot_cache import aot_call
 
         cw = c or fused_window_bits(n)
         Wn = -(-SCALAR_BITS // cw)
-        g = _fused_group_size(scan_v * (-(-n // scan_v)), Wn, field_for(tag).rows, scan_v)
+        V = scan_v or (8192 if tag == "fq" else 4096)
+        total = Wn * n
+
+        def p2(x: int) -> int:
+            return 1 << max(x - 1, 0).bit_length()
+
+        nnz_fn = jax.jit(_ft.partial(_count_nonzero_digits.__wrapped__, c=cw))
+        nnz = int(
+            aot_call(f"msm_nnz_c{cw}", AOT_VERSION, nnz_fn, scalars)
+        )
+        cap = min(max(V, p2(nnz)), p2(total))
+        chunk = min(cap, _flat_chunk_entries(tag))
         fn = jax.jit(
             _ft.partial(
                 _msm_pippenger_fused.__wrapped__,
-                tag=tag, c=cw, v=scan_v, g=g, assume_distinct=assume_distinct,
+                tag=tag, c=cw, v=V, cap=cap, chunk=chunk,
+                assume_distinct=assume_distinct,
             )
         )
         return aot_call(
-            f"msm_fused_{tag}_c{cw}_v{scan_v}_g{g}_d{int(assume_distinct)}",
+            f"msm_flat_{tag}_c{cw}_v{V}_p{cap}_k{chunk}_d{int(assume_distinct)}",
             AOT_VERSION,
             fn,
             points_x, points_y, points_inf, scalars,
@@ -280,34 +300,27 @@ def msm(
     )
 
 
-def _fused_group_size(n_p: int, Wn: int, R: int, v: int) -> int:
-    """Windows processed per scan-kernel launch (lane-axis folding).
+def _flat_chunk_entries(tag: str) -> int:
+    """Stream entries scanned per device pass. Each entry holds a gathered
+    affine point (2 coords) plus a 3-coordinate emit slot: 20*R bytes —
+    2^23 G1 entries = 2.7 GB transient, well under HBM with the sort
+    buffers and bucket tables resident."""
+    cap = int(os.environ.get("KEYLESS_MSM_CHUNK_ENTRIES", "0"))
+    if cap:
+        return cap
+    return (1 << 23) if tag == "fq" else (1 << 22)
 
-    Folding all windows into one window_scan invocation turns Wn serialized
-    per-window dispatch rounds (sorted-stream gathers, scan, merge, bucket
-    gathers) into ONE kernel chain — the round-3 per-window lax.map paid
-    ~2.3 ms of fixed overhead per window at 2^16 (probe_fused_stages). Two
-    caps: HBM (each folded window holds a gathered point stream (2 coords)
-    plus a 3-coordinate emit buffer, R*n_p*4*5 bytes) and VMEM (the scan
-    kernel keeps ~14 point-sized windows resident — 2 gathered inputs,
-    3 emit + 6 head/tail outputs, 3 accumulator scratch rows — at
-    R*(8*Vg/8)*4 bytes each; a G2 fold at Vg = 104k lanes OOM'd the
-    100 MB scoped-vmem budget through register-allocator spills).
-    """
-    cap = int(os.environ.get("KEYLESS_MSM_GROUP_BYTES", str(6 << 30)))
-    per_win = n_p * R * 4 * 5
-    g_hbm = cap // max(per_win, 1)
-    vmem_cap = 60 << 20  # leave headroom under the 100 MB scoped budget
-    g_vmem = vmem_cap // (14 * R * 4 * v)
-    g_max = max(1, min(Wn, g_hbm, g_vmem))
-    # round so groups divide Wn as evenly as possible: a padded window costs
-    # a full n_p-add scan lap (e.g. Wn=16, g_max=13 would scan 26 windows)
-    n_groups = -(-Wn // g_max)
-    return -(-Wn // n_groups)
+
+@functools.partial(jax.jit, static_argnames="c")
+def _count_nonzero_digits(scalars: jnp.ndarray, *, c: int) -> jnp.ndarray:
+    """Number of nonzero signed digits across all windows (the compacted
+    stream length before padding)."""
+    keys, _ = extract_digits_signed(scalars, c)
+    return jnp.sum((keys >= 1).astype(jnp.int32))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tag", "c", "v", "g", "assume_distinct")
+    jax.jit, static_argnames=("tag", "c", "v", "cap", "chunk", "assume_distinct")
 )
 def _msm_pippenger_fused(
     points_x: jnp.ndarray,
@@ -318,52 +331,60 @@ def _msm_pippenger_fused(
     tag: str,
     c: int,
     v: int,
+    cap: int,
+    chunk: int,
     assume_distinct: bool,
-    g: int | None = None,
 ) -> JacPoint:
     """Pippenger with every per-element stage fused into Pallas kernels.
 
-    Round-4 structure: windows fold into the scan kernel's LANE axis in
-    groups of g (all 20 at 2^16 G1), so the whole MSM is one sort + a few
-    wide kernel launches instead of Wn narrow ones. Scan lanes never
-    interact, so a group scan over V' = g*V lanes is exactly g independent
-    window scans; the boundary merge and bucket gathers batch per window
-    inside the group. Cf. multiexp.cpp:182-245 (the TBB per-thread bucket
-    design this replaces).
+    Round-5 FLAT-STREAM structure (replaces the round-4 per-window lane
+    folding): every (window, element) pair maps to one flat bucket id
+    fb = window*NB_pad + digit; zero digits and pads map to a sentinel
+    that sorts PAST the real entries, so ONE bitonic pair sort both
+    groups the buckets and compacts the stream to its first `cap` slots.
+    The scan then runs over the compacted stream in `chunk`-entry pieces
+    (jax.lax.scan carries the dense bucket table), each piece a single
+    window_scan launch with V lanes; chunk boundaries behave exactly like
+    lane boundaries and resolve in the one global boundary merge.
+
+    Work: nnz mixed adds total (vs n*Wn before compaction — a ~13x cut on
+    real keyless witnesses, BENCH notes), plus sum_b b*B_b reduction per
+    window. Cf. multiexp.cpp:182-245 (the TBB bucket design replaced).
     """
     from . import pallas_msm
     from .pallas_ec import field_for
+    from .sort import bitonic_sort
 
     R = field_for(tag).rows
     n = scalars.shape[0]
     V = v
-    L = -(-n // V)
-    n_p = V * L
-    pad = n_p - n
+    assert chunk % V == 0 and cap % chunk == 0, (cap, chunk, V)
+    L = chunk // V
+    n_chunks = cap // chunk
+    Wd = V // 8
 
-    keys, negs = extract_digits_signed(scalars, c)  # (W, n) i32 each
+    keys, negs = extract_digits_signed(scalars, c)  # (Wn, n) i32 each
     Wn = keys.shape[0]
     half = 1 << (c - 1)
     NB = half + 1
     NB_pad = -(-NB // pallas_msm.RV) * pallas_msm.RV
+    n_seg = Wn * NB_pad
+    assert n_seg + 1 < (1 << 31)
 
-    if g is None:
-        g = _fused_group_size(n_p, Wn, R, v)
-    g = min(g, Wn)
-    n_groups = -(-Wn // g)
-    Wn_pad = n_groups * g
-    Vg = g * V  # lanes per scan launch
-    Wd = Vg // 8
-    Mg = L * Vg  # flat emit length per group
-
-    # pad windows (all-sentinel streams scan to empty bucket tables)
-    if Wn_pad > Wn:
-        keys = jnp.concatenate(
-            [keys, jnp.full((Wn_pad - Wn, n), -1, jnp.int32)]
-        )
-        negs = jnp.concatenate(
-            [negs, jnp.zeros((Wn_pad - Wn, n), jnp.int32)]
-        )
+    # flat ids; sentinel (zero digits, pads) sorts after every real bucket
+    real = keys >= 1
+    warr = jax.lax.iota(jnp.int32, Wn)[:, None]
+    fb = _sel(real, warr * NB_pad + keys, n_seg)
+    iota = jax.lax.iota(jnp.int32, n)[None, :]
+    pay = _sel(real, iota | (negs << 30), n)  # sentinel -> infinity row
+    flat_len = Wn * n
+    fb = fb.reshape(1, flat_len)
+    pay = pay.reshape(1, flat_len)
+    if flat_len < cap:
+        fb = jnp.pad(fb, ((0, 0), (0, cap - flat_len)), constant_values=n_seg)
+        pay = jnp.pad(pay, ((0, 0), (0, cap - flat_len)), constant_values=n)
+    fb_s, pay_s = bitonic_sort(fb, pay)
+    fb_s, pay_s = fb_s[0, :cap], pay_s[0, :cap]
 
     # master point table with a sentinel infinity row at index n;
     # row-major (point-major) so stream gathers read 64-byte rows
@@ -372,58 +393,51 @@ def _msm_pippenger_fused(
     pyr = jnp.concatenate([points_y.reshape(n, R), zrow])
     pinf_ext = jnp.concatenate([points_inf, jnp.ones((1,), bool)])
 
-    # ONE sort for all windows; payload packs point index + sign bit. Pad
-    # entries sort to the front (key -1) and index the sentinel row. When
-    # key+neg+index fit in 31 bits, sort a single packed i32 operand
-    # (measurably cheaper than the two-operand variadic sort).
-    idx_bits = (n + 1).bit_length()
-    key_bits = (half + 2).bit_length()
-    iota = jax.lax.iota(jnp.int32, n)
-    if key_bits + 1 + idx_bits <= 31:
-        packed = (
-            ((keys + 1) << (idx_bits + 1))
-            | (negs << idx_bits)
-            | jnp.broadcast_to(iota, (Wn_pad, n))
-        )
-        if pad:
-            packed = jnp.concatenate(
-                [jnp.full((Wn_pad, pad), n, jnp.int32), packed], axis=1
-            )
-        packed = jax.lax.sort(packed, dimension=1)
-        keys_s = (packed >> (idx_bits + 1)) - 1
-        pay_s = (packed & ((1 << idx_bits) - 1)) | (
-            ((packed >> idx_bits) & 1) << 30
-        )
-    else:
-        payload = jnp.broadcast_to(iota, (Wn_pad, n)) | (negs << 30)
-        if pad:
-            keys = jnp.concatenate(
-                [jnp.full((Wn_pad, pad), -1, jnp.int32), keys], axis=1
-            )
-            payload = jnp.concatenate(
-                [jnp.full((Wn_pad, pad), n, jnp.int32), payload], axis=1
-            )
-        keys_s, pay_s = jax.lax.sort(
-            (keys, payload), num_keys=1, is_stable=False, dimension=1
-        )
+    # global bucket geometry from the sorted keys alone. Element at flat
+    # position p lives in chunk p//chunk, lane (p//L) % V, slab p % L —
+    # p//L is a GLOBAL lane id (chunks stack in the lane direction), so
+    # interior/span tests are uniform across chunk boundaries.
+    pos = jax.lax.iota(jnp.int32, cap)
+    ends = jax.ops.segment_max(
+        pos, fb_s, n_seg + 1, indices_are_sorted=True
+    )[:n_seg]
+    starts = jax.ops.segment_min(
+        pos, fb_s, n_seg + 1, indices_are_sorted=True
+    )[:n_seg]
+    interior = (
+        (ends >= starts)
+        & (starts // L == ends // L)
+        & (starts % L != 0)
+        & (ends % L != L - 1)
+    )
+    # merge steps bound: a bucket spanning S lanes occupies <= 2S
+    # consecutive boundary slots (incl. cummax-filled tails), so
+    # ceil(log2(2*max_span)) suffix passes merge every real bucket
+    # (typically 2-3 vs the worst-case full log sweep).
+    lane_span = ends // L - starts // L + 1  # negative for empty buckets
+    merge_steps = 32 - jax.lax.clz(2 * jnp.maximum(jnp.max(lane_span), 1) - 1)
 
-    warr = jax.lax.iota(jnp.int32, g)  # window slot within the group
+    kg = fb_s.reshape(n_chunks, chunk)
+    pg = pay_s.reshape(n_chunks, chunk)
+    cidx = jax.lax.iota(jnp.int32, n_chunks)
 
-    def group_tables(args):
-        kw, pw = args  # (g, n_p) sorted per window
+    tbl0 = tuple(jnp.zeros((R, n_seg), jnp.uint32) for _ in range(3))
+
+    def chunk_body(tbl, sl):
+        kw, pw, ci = sl
         idx = pw & ((1 << 30) - 1)
         neg = (pw >> 30) & 1
 
-        def smaj(x):  # (g, n_p) -> (L, g*V) slab-major, window-blocked lanes
-            return x.reshape(g, V, L).transpose(2, 0, 1).reshape(L, Vg)
+        def smaj(x):  # (chunk,) -> (L, V) slab-major
+            return x.reshape(V, L).T
 
         ord_sm = smaj(idx)
         keys_sm = smaj(kw)
         neg_sm = smaj(neg)
-        flat_ord = ord_sm.reshape(Mg)
+        flat_ord = ord_sm.reshape(chunk)
         gx = jnp.take(pxr, flat_ord, axis=0).T.reshape(R, L, 8, Wd)
         gy = jnp.take(pyr, flat_ord, axis=0).T.reshape(R, L, 8, Wd)
-        inf_sm = pinf_ext[ord_sm] | (keys_sm == 0)
+        inf_sm = pinf_ext[ord_sm]
         flags = inf_sm.astype(jnp.int32) | (neg_sm << 1)
 
         (ex, ey, ez, hk, hx, hy, hz, tk, tx, ty, tz) = pallas_msm.window_scan(
@@ -432,95 +446,68 @@ def _msm_pippenger_fused(
             flags.reshape(L, 8, Wd),
             gx,
             gy,
-            V=Vg,
+            V=V,
             assume_distinct=assume_distinct,
         )
 
-        # boundary sequence per window: head_0, tail_0, head_1, ... in
-        # sorted order (lane blocks are window-contiguous: lane w*V + v)
-        hkr = hk.reshape(g, V)
-        tkr = tk.reshape(g, V)
-        bkeys = jnp.stack([hkr, tkr], axis=2).reshape(g, 2 * V)
-        bkeys = jax.lax.cummax(bkeys, axis=1)  # fill -1/-2 sentinels
-
-        def inter(h, t):  # (R, 1, 8, Wd) x2 -> (g, R, 2V) interleaved
-            hh = h.reshape(R, g, V)
-            tt = t.reshape(R, g, V)
-            return jnp.stack([hh, tt], axis=3).transpose(1, 0, 2, 3).reshape(
-                g, R, 2 * V
-            )
-
-        mx, my, mz = pallas_msm.boundary_merge(
-            tag, bkeys, inter(hx, tx), inter(hy, ty), inter(hz, tz)
-        )  # (g, R, 2V) x3
-
-        # dense bucket tables: per-bucket start/end positions come from ONE
-        # sorted segment_min/max over the window-offset keys (the round-4
-        # searchsorted bisection cost 17 serialized take_along_axis rounds
-        # at ~1-3 ms each on TPU — ~60 ms of pure dispatch at 2^16), and the
-        # emit/merge reads collapse into ONE flat gather. Sentinel keys
-        # (pads -1/-2, digit 0) clip to bucket 0, whose weight in
-        # sum_b b*B_b is exactly zero (on-curve junk there cancels in the
-        # weighted reduction's linear combination).
-        off = warr[:, None] * NB_pad  # (g, 1)
-        pos = jnp.broadcast_to(
-            jax.lax.iota(jnp.int32, n_p), (g, n_p)
-        ).reshape(-1)
-        flatbin = (jnp.clip(kw, 0, NB_pad - 1) + off).reshape(-1)
-        ends = jax.ops.segment_max(
-            pos, flatbin, g * NB_pad, indices_are_sorted=True
-        ).reshape(g, NB_pad)
-        starts = jax.ops.segment_min(
-            pos, flatbin, g * NB_pad, indices_are_sorted=True
-        ).reshape(g, NB_pad)
-        interior = (
-            (ends >= starts)
-            & (starts // L == ends // L)
-            & (starts % L != 0)
-            & (ends % L != L - 1)
-        )
-        # merged-boundary leader position per bucket (first occurrence in
-        # the cummax-filled boundary key sequence)
-        pos2 = jnp.broadcast_to(
-            jax.lax.iota(jnp.int32, 2 * V), (g, 2 * V)
-        ).reshape(-1)
-        flatbin2 = (jnp.clip(bkeys, 0, NB_pad - 1) + off).reshape(-1)
-        lpos = jax.ops.segment_min(
-            pos2, flatbin2, g * NB_pad, indices_are_sorted=True
-        ).reshape(g, NB_pad)
-        has = (lpos < 2 * V) & ~interior
-
-        # one gather from [emit | merged | one infinity column]
-        # emit flat index: slab (ends%L)+1, lane w*V + ends//L
-        ecol = (ends % L + 1) * Vg + warr[:, None] * V + ends // L
-        mcol = Mg + warr[:, None] * 2 * V + jnp.clip(lpos, 0, 2 * V - 1)
-        idx = _sel(interior, ecol, _sel(has, mcol, Mg + g * 2 * V)).reshape(-1)
-        outs = []
-        for e, m in zip((ex, ey, ez), (mx, my, mz)):
+        # interior-run totals for buckets ending in THIS chunk: the run
+        # [s, e] total is the pre-add accumulator of slab e%L + 1 in the
+        # run's lane, gathered straight from the emit buffer (never
+        # leaves the chunk iteration — the round-4 design materialized
+        # every chunk's emit at once, 6.4 GB at the H table).
+        mine = interior & (ends // chunk == ci)
+        e_loc = ends - ci * chunk
+        eidx = _sel(mine, (e_loc % L + 1) * V + e_loc // L, chunk)
+        new_tbl = []
+        for e, t in zip((ex, ey, ez), tbl):
             src = jnp.concatenate(
-                [
-                    e.reshape(R, Mg),
-                    jnp.moveaxis(m, 1, 0).reshape(R, g * 2 * V),
-                    jnp.zeros((R, 1), jnp.uint32),
-                ],
-                axis=1,
+                [e.reshape(R, chunk), jnp.zeros((R, 1), jnp.uint32)], axis=1
             )
-            outs.append(
-                src[:, idx].reshape(R, g, NB_pad).transpose(1, 0, 2)
-            )
-        return tuple(outs)  # (g, R, NB_pad) x3
+            new_tbl.append(_sel(mine, src[:, eidx], t))
+        outs = (
+            hk.reshape(V), tk.reshape(V),
+            hx.reshape(R, V), hy.reshape(R, V), hz.reshape(R, V),
+            tx.reshape(R, V), ty.reshape(R, V), tz.reshape(R, V),
+        )
+        return tuple(new_tbl), outs
 
-    kg = keys_s.reshape(n_groups, g, n_p)
-    pg = pay_s.reshape(n_groups, g, n_p)
-    if n_groups == 1:
-        dxs, dys, dzs = group_tables((kg[0], pg[0]))
-    else:
-        dxs, dys, dzs = jax.lax.map(group_tables, (kg, pg))
-        dxs = dxs.reshape(Wn_pad, R, NB_pad)
-        dys = dys.reshape(Wn_pad, R, NB_pad)
-        dzs = dzs.reshape(Wn_pad, R, NB_pad)
-    dxs, dys, dzs = dxs[:Wn], dys[:Wn], dzs[:Wn]
+    (tbx, tby, tbz), (hks, tks, hxs, hys, hzs, txs, tys, tzs) = jax.lax.scan(
+        chunk_body, tbl0, (kg, pg, cidx)
+    )
 
+    # one global boundary sequence: (head, tail) per global lane, in order
+    m2 = 2 * V * n_chunks
+    bkeys = jnp.stack([hks, tks], axis=2).reshape(1, m2)
+    bkeys = jax.lax.cummax(bkeys, axis=1)  # fill -1/-2 sentinels
+
+    def inter(h, t):  # (n_chunks, R, V) x2 -> (1, R, m2) interleaved
+        st = jnp.stack([h, t], axis=3)  # (nc, R, V, 2)
+        return st.transpose(1, 0, 2, 3).reshape(1, R, m2)
+
+    mx, my, mz = pallas_msm.boundary_merge(
+        tag, bkeys, inter(hxs, txs), inter(hys, tys), inter(hzs, tzs),
+        max_steps=merge_steps,
+    )  # (1, R, m2) x3
+
+    # overlay cross-lane bucket totals from the merged boundary leaders
+    pos2 = jax.lax.iota(jnp.int32, m2)
+    bclip = jnp.clip(bkeys[0], 0, n_seg)
+    lpos = jax.ops.segment_min(
+        pos2, bclip, n_seg + 1, indices_are_sorted=True
+    )[:n_seg]
+    has = (lpos < m2) & ~interior
+    midx = _sel(has, jnp.minimum(lpos, m2 - 1), m2)
+    tbl = []
+    for mcoord, t in ((mx, tbx), (my, tby), (mz, tbz)):
+        src = jnp.concatenate(
+            [mcoord.reshape(R, m2), jnp.zeros((R, 1), jnp.uint32)], axis=1
+        )
+        tbl.append(_sel(has, src[:, midx], t))
+
+    # (R, Wn*NB_pad) -> (Wn, R, NB_pad) dense tables -> weighted reduction
+    dxs, dys, dzs = (
+        t.reshape(R, Wn, NB_pad).transpose(1, 0, 2) for t in tbl
+    )
     wx, wy, wz = pallas_msm.weighted_bucket_total(tag, dxs, dys, dzs)
     tx_, ty_, tz_ = pallas_msm.horner_total(tag, wx, wy, wz, c)
     if tag == "fq2":

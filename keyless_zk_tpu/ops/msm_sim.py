@@ -122,20 +122,38 @@ def window_scan(tag, keys, flags, px, py, *, V, assume_distinct=True):
     )
 
 
-def boundary_merge(tag, keys, px, py, pz):
+def boundary_merge(tag, keys, px, py, pz, max_steps=None):
     """Simulates pallas_msm.boundary_merge: per-window segmented suffix
-    totals; keys (Wn, M), points (Wn, R, M) -> totals at leader positions."""
-    from .msm import _segmented_suffix_totals
+    totals; keys (Wn, M), points (Wn, R, M) -> totals at leader positions.
 
+    `max_steps` (traced scalar) faithfully replicates the kernel's dynamic
+    trip count: exactly that many Hillis-Steele passes run, so a too-small
+    caller-derived bound fails the fused-sim tests the same way it would
+    fail on hardware."""
     curve = _curve_for(tag)
     R = px.shape[1]
+    m = keys.shape[1]
+    full_steps = max(m - 1, 1).bit_length()
+    if max_steps is None:
+        bound = full_steps
+    else:
+        bound = jnp.minimum(max_steps.astype(jnp.int32), full_steps)
 
     def one(args):
         k, x, y, z = args
         pts = JacPoint(
             _rows_to_coord(x.T, tag), _rows_to_coord(y.T, tag), _rows_to_coord(z.T, tag)
         )
-        tot, _ = _segmented_suffix_totals(k, pts, curve)
+        idx = jnp.arange(m)
+
+        def body(s, acc):
+            sh = jnp.left_shift(1, s)
+            shifted = jax.tree.map(lambda a: jnp.roll(a, -sh, axis=0), acc)
+            same = jnp.roll(k, -sh) == k
+            valid = same & (idx < m - sh)
+            return curve.select(valid, curve.add(acc, JacPoint(*shifted)), acc)
+
+        tot = jax.lax.fori_loop(0, bound, body, pts)
         return (
             jnp.moveaxis(_coord_to_rows(tot.x, tag), -1, 0),
             jnp.moveaxis(_coord_to_rows(tot.y, tag), -1, 0),

@@ -326,7 +326,7 @@ def _masked_step(F, pt, valid, roll):
     return add_core(F, x, y, z, rx, ry, rz)
 
 
-def _suffix_passes(F, pt, keys, n_repeats: int):
+def _suffix_passes(F, pt, keys, n_repeats: int, dyn_steps=None):
     """`n_repeats` full inclusive suffix-sum scans over the row-major (r, 128)
     blocks of pt, segmented by `keys` (None = unsegmented).
 
@@ -336,6 +336,12 @@ def _suffix_passes(F, pt, keys, n_repeats: int):
     build time (~4 s per instance; a round-4 experiment that unrolled the
     passes with static rotates cost ~340 s of extra compile per shape and
     measured ZERO runtime gain at 2^16, so the rolled form stays).
+
+    `dyn_steps` (traced scalar, requires n_repeats == 1): stop after that
+    many log-steps — correct whenever every key segment is shorter than
+    2^dyn_steps (the caller derives the bound from the sorted bucket
+    geometry; full log(m) passes at a 2-lane typical segment length were
+    ~20% of the whole 2^16 MSM).
     """
     shape = (pt[0][0] if F is KFQ else pt[0][0][0]).shape
     m = shape[0] * shape[1]
@@ -355,17 +361,22 @@ def _suffix_passes(F, pt, keys, n_repeats: int):
         nxt = _masked_step(F, cur, ok(rk, s), lambda v: _flat_roll_dyn(v, s))
         return _pt_to_list(F, nxt)
 
-    flat = jax.lax.fori_loop(0, n_repeats * steps, body, _pt_to_list(F, pt))
+    if dyn_steps is not None:
+        assert n_repeats == 1
+        bound = jnp.minimum(dyn_steps.astype(jnp.int32), steps)
+        flat = jax.lax.fori_loop(0, bound, body, _pt_to_list(F, pt))
+    else:
+        flat = jax.lax.fori_loop(0, n_repeats * steps, body, _pt_to_list(F, pt))
     return _pt_from_list(F, flat)
 
 
 # ---- 2. boundary merge ------------------------------------------------------
 
 def _merge_kernel_body(F):
-    def kernel(keys_ref, px_ref, py_ref, pz_ref, ox_ref, oy_ref, oz_ref):
+    def kernel(steps_ref, keys_ref, px_ref, py_ref, pz_ref, ox_ref, oy_ref, oz_ref):
         keys = keys_ref[0]
         pt = _load_pt(F, px_ref, py_ref, pz_ref, pre=(0,))
-        pt = _suffix_passes(F, pt, keys, 1)
+        pt = _suffix_passes(F, pt, keys, 1, dyn_steps=steps_ref[0, 0])
         _store_pt(F, ox_ref, oy_ref, oz_ref, pt, pre=(0,))
 
     return kernel
@@ -376,6 +387,7 @@ def _build_merge(tag: str, n_win: int, m: int):
     F = field_for(tag)
     R = F.rows
     r = m // _W
+    steps_spec = pl.BlockSpec((1, 1), lambda w: (0, 0), memory_space=pltpu.SMEM)
     key_spec = pl.BlockSpec((1, r, _W), lambda w: (w, 0, 0), memory_space=_vmem())
     pt_spec = pl.BlockSpec((1, R, r, _W), lambda w: (w, 0, 0, 0), memory_space=_vmem())
     pt_shape = jax.ShapeDtypeStruct((n_win, R, r, _W), jnp.uint32)
@@ -390,7 +402,7 @@ def _build_merge(tag: str, n_win: int, m: int):
     return pl.pallas_call(
         _merge_kernel_body(F),
         grid=(n_win,),
-        in_specs=[key_spec, pt_spec, pt_spec, pt_spec],
+        in_specs=[steps_spec, key_spec, pt_spec, pt_spec, pt_spec],
         out_specs=(pt_spec, pt_spec, pt_spec),
         out_shape=(pt_shape, pt_shape, pt_shape),
         interpret=_INTERPRET,
@@ -398,19 +410,28 @@ def _build_merge(tag: str, n_win: int, m: int):
     )
 
 
-def boundary_merge(tag: str, keys, px, py, pz):
+def boundary_merge(tag: str, keys, px, py, pz, max_steps=None):
     """keys (Wn, M) i32 (cummax-filled, sorted per window), points
     (Wn, R, M). Returns suffix-merged totals (Wn, R, M) x3; the first
-    (leader) position of each equal-key segment holds the segment total."""
+    (leader) position of each equal-key segment holds the segment total.
+
+    `max_steps` (traced i32 scalar, optional): log-step count sufficient
+    for the longest key segment that must merge correctly (2^max_steps >=
+    its length); defaults to the full log(M) sweep.
+    """
     n_win, m = keys.shape
     R = field_for(tag).rows
     r = m // _W
+    if max_steps is None:
+        max_steps = jnp.int32(max(m - 1, 1).bit_length())
+    steps_arr = jnp.reshape(max_steps.astype(jnp.int32), (1, 1))
     per_win = R * m * 4 * 3
     chunk = max(1, min(n_win, (8 << 20) // max(per_win, 1)))
     parts = []
     for s in range(0, n_win, chunk):
         e = min(s + chunk, n_win)
         outs = _build_merge(tag, e - s, m)(
+            steps_arr,
             keys[s:e].reshape(e - s, r, _W),
             px[s:e].reshape(e - s, R, r, _W),
             py[s:e].reshape(e - s, R, r, _W),

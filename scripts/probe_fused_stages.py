@@ -30,7 +30,7 @@ from keyless_zk_tpu.ops.testgen import random_points, random_scalars
 
 N_POW = int(os.environ.get("N_POW", "16"))
 n = 1 << N_POW
-V = 1 << int(os.environ.get("V_POW", "10"))
+V = 1 << int(os.environ.get("V_POW", "13"))
 
 px, py, pinf = random_points(n, seed=42)
 scalars = random_scalars(n, seed=43)
@@ -39,12 +39,14 @@ jax.block_until_ready((px, py, scalars))
 c = int(os.environ.get("C_BITS", "0")) or M.fused_window_bits(n)
 tag = "fq"
 R = field_for(tag).rows
-L = -(-n // V)
-n_p = V * L
 Wn = -(-M.SCALAR_BITS // c)
-g = M._fused_group_size(n_p, Wn, R, V)
+nnz = int(M._count_nonzero_digits(scalars, c=c))
+cap = min(max(V, 1 << max(nnz - 1, 1).bit_length()),
+          1 << (Wn * n - 1).bit_length())
+chunk = min(cap, M._flat_chunk_entries(tag))
 print(
-    f"n=2^{N_POW} fused c={c} windows={Wn} V={V} group={g}", flush=True
+    f"n=2^{N_POW} flat c={c} windows={Wn} V={V} nnz={nnz} cap={cap} chunk={chunk}",
+    flush=True,
 )
 
 
@@ -86,7 +88,8 @@ def cut(stage):
             setattr(pallas_msm, name, fn)
         try:
             out = M._msm_pippenger_fused.__wrapped__(
-                px_, py_, pinf_, sc_, tag=tag, c=c, v=V, assume_distinct=True, g=g
+                px_, py_, pinf_, sc_, tag=tag, c=c, v=V, cap=cap, chunk=chunk,
+                assume_distinct=True,
             )
             return out.x.sum() + out.y.sum() + out.z.sum()
         except Stop:

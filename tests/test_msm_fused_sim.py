@@ -56,9 +56,14 @@ def test_fused_g1_matches_host(sim_kernels, n):
     pts[5] = None
     vals = _scalars(rng, n, FR.p)
     px, py, pinf = G1_CURVE.encode_affine(pts)
+    Wn = -(-M.SCALAR_BITS // 8)
+    cap = 1 << (Wn * n - 1).bit_length()
+    # chunk < cap on the second size: exercises the cross-chunk stream
+    # path (chunk boundaries must behave exactly like lane boundaries)
+    chunk = cap if n == 1000 else cap // 4
     got = M._msm_pippenger_fused(
         px, py, pinf, jnp.asarray(ints_to_limbs(vals)),
-        tag="fq", c=8, v=1024, assume_distinct=True,
+        tag="fq", c=8, v=1024, cap=cap, chunk=chunk, assume_distinct=True,
     )
     [dec] = G1_CURVE.decode_jacobian(JacPoint(got.x[None], got.y[None], got.z[None]))
     assert dec == _host_msm(ref_curve.G1, pts, vals)
@@ -72,11 +77,38 @@ def test_fused_g2_matches_host(sim_kernels):
     pts[7] = None
     vals = _scalars(rng, n, FR.p)
     px, py, pinf = G2_CURVE.encode_affine(pts)
+    Wn = -(-M.SCALAR_BITS // 8)
+    cap = 1 << (Wn * n - 1).bit_length()
     got = M._msm_pippenger_fused(
         px, py, pinf, jnp.asarray(ints_to_limbs(vals)),
-        tag="fq2", c=8, v=1024, assume_distinct=True,
+        tag="fq2", c=8, v=1024, cap=cap, chunk=cap, assume_distinct=True,
     )
     [dec] = G2_CURVE.decode_jacobian(
         JacPoint(got.x[None], got.y[None], got.z[None])
     )
     assert dec == _host_msm(ref_curve.G2, pts, vals)
+
+
+@pytest.mark.slow
+def test_fused_compacted_sparse_matches_host(sim_kernels):
+    """Bit-heavy scalars (the keyless witness shape) with cap << Wn*n:
+    compaction must drop only zero-digit slots."""
+    n = 1500
+    rng = np.random.default_rng(23)
+    pts = [ref_curve.G1.mul(ref_curve.G1_GEN, 1 + int(k)) for k in rng.integers(0, 1 << 40, n)]
+    vals = [int(rng.integers(0, 2)) for _ in range(n)]  # bits
+    for i in range(0, n, 7):  # sprinkle full-range scalars
+        vals[i] = int.from_bytes(rng.bytes(32), "little") % FR.p
+    px, py, pinf = G1_CURVE.encode_affine(pts)
+    sc = jnp.asarray(ints_to_limbs(vals))
+    c = 8
+    nnz = int(M._count_nonzero_digits(sc, c=c))
+    Wn = -(-M.SCALAR_BITS // c)
+    assert nnz < Wn * n // 2  # compaction actually engages
+    cap = 1 << max((nnz - 1).bit_length(), 10)
+    got = M._msm_pippenger_fused(
+        px, py, pinf, sc,
+        tag="fq", c=c, v=1024, cap=cap, chunk=cap, assume_distinct=True,
+    )
+    [dec] = G1_CURVE.decode_jacobian(JacPoint(got.x[None], got.y[None], got.z[None]))
+    assert dec == _host_msm(ref_curve.G1, pts, vals)

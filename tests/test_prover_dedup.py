@@ -61,13 +61,16 @@ def test_dedup_merge_msm_equivalence():
 
     (ux, uy, uinf), merge = _dedup_point_table(x, y, inf)
     assert merge is not None
-    order, seg, nu = merge
+    order, s_pos, e_pos, nu = merge
     assert nu < n
-    # every duplicate group maps to one table row holding the same point
-    assert np.array_equal(np.sort(np.unique(seg)), np.arange(nu))
+    # boundaries partition [0, n): each unique row owns one sorted run
+    assert s_pos[0] == 0 and e_pos[-1] == n
+    assert np.array_equal(s_pos[1:], e_pos[:-1])
+    assert (e_pos > s_pos).all()
 
     merged = Groth16Prover._merge_scalars(
-        jnp.asarray(scalars), (jnp.asarray(order), jnp.asarray(seg), nu)
+        jnp.asarray(scalars),
+        (jnp.asarray(order), jnp.asarray(s_pos), jnp.asarray(e_pos), nu),
     )
     got = _host_msm(ux, uy, uinf, np.asarray(merged))
     want = _host_msm(x, y, inf, scalars)
@@ -86,7 +89,12 @@ def test_merge_scalars_reduces_mod_r():
     scalars = np.stack([np.asarray(int_to_limbs(v), np.uint32) for v in vals])
     merged = Groth16Prover._merge_scalars(
         jnp.asarray(scalars),
-        (jnp.arange(3, dtype=np.int32), jnp.zeros(3, np.int32), 1),
+        (
+            jnp.arange(3, dtype=np.int32),
+            jnp.zeros(1, np.int32),
+            jnp.full((1,), 3, np.int32),
+            1,
+        ),
     )
     assert int(limbs_to_ints(np.asarray(merged))[0]) == 2
 
