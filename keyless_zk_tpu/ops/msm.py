@@ -300,6 +300,75 @@ def msm(
     )
 
 
+def msm_batch(
+    points_x: jnp.ndarray,
+    points_y: jnp.ndarray,
+    points_inf: jnp.ndarray,
+    scalars: jnp.ndarray,
+    *,
+    curve: JacobianCurve,
+    c: int | None = None,
+    lanes: int = 1 << 12,
+    scan_v: int | None = None,
+    assume_distinct: bool = True,
+) -> JacPoint:
+    """B MSMs over ONE point table: scalars (B, n, 16) -> JacPoint stacked
+    on a leading batch axis.
+
+    On TPU this is a single flat-stream Pippenger whose bucket ids carry a
+    batch offset (see _msm_pippenger_fused's `batch`), i.e. one sort + one
+    scan for the whole batch — NOT B serialized MSMs and NOT vmap (the
+    fused path's nnz compaction needs a host-side count, which vmap cannot
+    trace through). The BatchProver's device sweep lands here.
+    """
+    B, n = scalars.shape[0], scalars.shape[1]
+    tag = _fused_tag(curve)
+    if tag is None or n <= 128 or B == 1:  # B==1 reuses the single-MSM graphs
+        singles = [
+            msm(points_x, points_y, points_inf, scalars[b], curve=curve,
+                c=c, lanes=lanes, assume_distinct=assume_distinct)
+            for b in range(B)
+        ]
+        return JacPoint(*(jnp.stack(coord) for coord in zip(*singles)))
+
+    import functools as _ft
+
+    from ..utils.aot_cache import aot_call
+
+    cw = c or fused_window_bits(n)
+    Wn = -(-SCALAR_BITS // cw)
+    V = scan_v or (8192 if tag == "fq" else 4096)
+    total = B * Wn * n
+
+    def p2(x: int) -> int:
+        return 1 << max(x - 1, 0).bit_length()
+
+    nnz_fn = jax.jit(_ft.partial(_count_nonzero_digits_batch.__wrapped__, c=cw))
+    nnz = int(aot_call(f"msm_nnzb_c{cw}", AOT_VERSION, nnz_fn, scalars))
+    cap = min(max(V, p2(nnz)), p2(total))
+    chunk = min(cap, _flat_chunk_entries(tag))
+    fn = jax.jit(
+        _ft.partial(
+            _msm_pippenger_fused.__wrapped__,
+            tag=tag, c=cw, v=V, cap=cap, chunk=chunk,
+            assume_distinct=assume_distinct, batch=B,
+        )
+    )
+    return aot_call(
+        f"msm_flatb{B}_{tag}_c{cw}_v{V}_p{cap}_k{chunk}_d{int(assume_distinct)}",
+        AOT_VERSION,
+        fn,
+        points_x, points_y, points_inf, scalars,
+    )
+
+
+@functools.partial(jax.jit, static_argnames="c")
+def _count_nonzero_digits_batch(scalars: jnp.ndarray, *, c: int) -> jnp.ndarray:
+    """Total nonzero signed digits across a (B, n, 16) scalar batch."""
+    keys, _ = jax.vmap(lambda s: extract_digits_signed(s, c))(scalars)
+    return jnp.sum((keys >= 1).astype(jnp.int32))
+
+
 def _flat_chunk_entries(tag: str) -> int:
     """Stream entries scanned per device pass. Each entry holds a gathered
     affine point (2 coords) plus a 3-coordinate emit slot: 20*R bytes —
@@ -320,7 +389,8 @@ def _count_nonzero_digits(scalars: jnp.ndarray, *, c: int) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tag", "c", "v", "cap", "chunk", "assume_distinct")
+    jax.jit,
+    static_argnames=("tag", "c", "v", "cap", "chunk", "assume_distinct", "batch"),
 )
 def _msm_pippenger_fused(
     points_x: jnp.ndarray,
@@ -334,6 +404,7 @@ def _msm_pippenger_fused(
     cap: int,
     chunk: int,
     assume_distinct: bool,
+    batch: int | None = None,
 ) -> JacPoint:
     """Pippenger with every per-element stage fused into Pallas kernels.
 
@@ -350,41 +421,85 @@ def _msm_pippenger_fused(
     Work: nnz mixed adds total (vs n*Wn before compaction — a ~13x cut on
     real keyless witnesses, BENCH notes), plus sum_b b*B_b reduction per
     window. Cf. multiexp.cpp:182-245 (the TBB bucket design replaced).
+
+    `batch=B` proves B scalar vectors (B, n, 16) against the SAME point
+    table in one flat stream — the bucket id simply gains a batch offset
+    (b*Wn + w)*NB_pad + digit, so the sort/scan/merge machinery is reused
+    verbatim and returns B totals (the BatchProver's device sweep; the
+    reference's mutex serializes here, prover_state.rs:21).
     """
     from . import pallas_msm
     from .pallas_ec import field_for
-    from .sort import bitonic_sort
 
     R = field_for(tag).rows
-    n = scalars.shape[0]
+    n = scalars.shape[-2]
+    B = batch or 1
     V = v
     assert chunk % V == 0 and cap % chunk == 0, (cap, chunk, V)
     L = chunk // V
     n_chunks = cap // chunk
     Wd = V // 8
 
-    keys, negs = extract_digits_signed(scalars, c)  # (Wn, n) i32 each
-    Wn = keys.shape[0]
+    # (B, Wn, n) digit planes; the unbatched call is B == 1
+    keys, negs = jax.vmap(lambda s: extract_digits_signed(s, c))(
+        scalars.reshape(B, n, scalars.shape[-1])
+    )
+    Wn = keys.shape[1]
     half = 1 << (c - 1)
     NB = half + 1
     NB_pad = -(-NB // pallas_msm.RV) * pallas_msm.RV
-    n_seg = Wn * NB_pad
+    n_seg = B * Wn * NB_pad
     assert n_seg + 1 < (1 << 31)
 
-    # flat ids; sentinel (zero digits, pads) sorts after every real bucket
+    # Sort PER (batch, window) ROW, then compact: a row-sorted (B*Wn, n)
+    # array concatenated in row order IS the flat stream sorted by flat
+    # bucket id (b*Wn + w)*NB_pad + digit — no global sort needed. Rows
+    # sort with ONE lax.sort op (compile-light: an in-graph bitonic
+    # network unrolled at 2^21 entries produced a 114 MB StableHLO whose
+    # TPU compile was OOM-killed). Zero digits and pads take a sentinel
+    # key that sorts to each row's tail; the compaction gather below then
+    # concatenates the rows' real-entry prefixes into the first `nnz`
+    # slots of a cap-length stream.
     real = keys >= 1
-    warr = jax.lax.iota(jnp.int32, Wn)[:, None]
-    fb = _sel(real, warr * NB_pad + keys, n_seg)
-    iota = jax.lax.iota(jnp.int32, n)[None, :]
-    pay = _sel(real, iota | (negs << 30), n)  # sentinel -> infinity row
-    flat_len = Wn * n
-    fb = fb.reshape(1, flat_len)
-    pay = pay.reshape(1, flat_len)
-    if flat_len < cap:
-        fb = jnp.pad(fb, ((0, 0), (0, cap - flat_len)), constant_values=n_seg)
-        pay = jnp.pad(pay, ((0, 0), (0, cap - flat_len)), constant_values=n)
-    fb_s, pay_s = bitonic_sort(fb, pay)
-    fb_s, pay_s = fb_s[0, :cap], pay_s[0, :cap]
+    rows = B * Wn
+    kr = _sel(real, keys, NB_pad).reshape(rows, n)
+    iota = jax.lax.iota(jnp.int32, n)[None, None, :]
+    pr = _sel(real, iota | (negs << 30), n).reshape(rows, n)
+    idx_bits = (n + 1).bit_length()
+    key_bits = (NB_pad + 1).bit_length()
+    if key_bits + 1 + idx_bits <= 31:
+        packed = (
+            (kr << (idx_bits + 1))
+            | (((pr >> 30) & 1) << idx_bits)
+            | (pr & ((1 << idx_bits) - 1))
+        )
+        packed = jax.lax.sort(packed, dimension=1)
+        kr_s = packed >> (idx_bits + 1)
+        pr_s = (packed & ((1 << idx_bits) - 1)) | (
+            ((packed >> idx_bits) & 1) << 30
+        )
+    else:
+        kr_s, pr_s = jax.lax.sort(
+            (kr, pr), num_keys=1, is_stable=False, dimension=1
+        )
+
+    # compaction: output slot p maps to row rw = searchsorted(offs, p) - 1,
+    # local offset p - offs[rw]; p past the total real count clips to the
+    # sentinel (bucket n_seg / point-table infinity row)
+    nnz_rows = jnp.sum(real.reshape(rows, n), axis=1, dtype=jnp.int32)
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nnz_rows, dtype=jnp.int32)]
+    )
+    pos_c = jax.lax.iota(jnp.int32, cap)
+    # right-bisect(offs, p) == left-bisect(offs, p+1) over integer offsets
+    # (_searchsorted, not jnp.searchsorted — see its docstring)
+    rw = _searchsorted(offs, pos_c + 1) - 1
+    valid = pos_c < offs[rows]
+    src = jnp.where(valid, jnp.clip(rw, 0, rows - 1) * n + pos_c
+                    - jnp.take(offs, jnp.clip(rw, 0, rows - 1)), 0)
+    dig = jnp.take(kr_s.reshape(rows * n), src)
+    fb_s = jnp.where(valid, jnp.clip(rw, 0, rows - 1) * NB_pad + dig, n_seg)
+    pay_s = jnp.where(valid, jnp.take(pr_s.reshape(rows * n), src), n)
 
     # master point table with a sentinel infinity row at index n;
     # row-major (point-major) so stream gathers read 64-byte rows
@@ -504,15 +619,28 @@ def _msm_pippenger_fused(
         )
         tbl.append(_sel(has, src[:, midx], t))
 
-    # (R, Wn*NB_pad) -> (Wn, R, NB_pad) dense tables -> weighted reduction
+    # (R, B*Wn*NB_pad) -> (B*Wn, R, NB_pad) dense tables -> weighted
+    # reduction over all batch elements' windows at once, then one horner
+    # per batch element
     dxs, dys, dzs = (
-        t.reshape(R, Wn, NB_pad).transpose(1, 0, 2) for t in tbl
+        t.reshape(R, B * Wn, NB_pad).transpose(1, 0, 2) for t in tbl
     )
     wx, wy, wz = pallas_msm.weighted_bucket_total(tag, dxs, dys, dzs)
-    tx_, ty_, tz_ = pallas_msm.horner_total(tag, wx, wy, wz, c)
-    if tag == "fq2":
-        return JacPoint(tx_.reshape(2, NUM_LIMBS), ty_.reshape(2, NUM_LIMBS), tz_.reshape(2, NUM_LIMBS))
-    return JacPoint(tx_, ty_, tz_)
+    outs = []
+    for b in range(B):
+        sl = slice(b * Wn, (b + 1) * Wn)
+        tx_, ty_, tz_ = pallas_msm.horner_total(tag, wx[sl], wy[sl], wz[sl], c)
+        if tag == "fq2":
+            outs.append(JacPoint(
+                tx_.reshape(2, NUM_LIMBS),
+                ty_.reshape(2, NUM_LIMBS),
+                tz_.reshape(2, NUM_LIMBS),
+            ))
+        else:
+            outs.append(JacPoint(tx_, ty_, tz_))
+    if batch is None:
+        return outs[0]
+    return JacPoint(*(jnp.stack(c_) for c_ in zip(*outs)))
 
 
 def _weighted_bucket_total(curve: JacobianCurve, buckets: JacPoint, n_buckets: int) -> JacPoint:

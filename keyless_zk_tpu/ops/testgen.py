@@ -24,10 +24,10 @@ from ..fields.limbs import LIMB_BITS, NUM_LIMBS, ints_to_limbs
 SCALAR_BITS = 254
 
 
-@functools.partial(jax.jit, static_argnames="curve")
-def _points_from_scalars(gx, gy, scalars, *, curve: JacobianCurve):
+@functools.partial(jax.jit, static_argnames=("curve", "n_bits"))
+def _points_from_scalars(gx, gy, scalars, *, curve: JacobianCurve, n_bits: int = SCALAR_BITS):
     n = scalars.shape[0]
-    bit_idx = jnp.arange(SCALAR_BITS - 1, -1, -1)
+    bit_idx = jnp.arange(n_bits - 1, -1, -1)
     bits = (scalars[:, bit_idx // LIMB_BITS] >> (bit_idx % LIMB_BITS)) & 1
 
     qx = jnp.broadcast_to(gx, (n, *gx.shape))
@@ -39,7 +39,7 @@ def _points_from_scalars(gx, gy, scalars, *, curve: JacobianCurve):
         added = curve.add_mixed(acc, qx, qy, qinf)
         return curve.select(bits[:, i] == 1, added, acc)
 
-    acc = jax.lax.fori_loop(0, SCALAR_BITS, body, curve.infinity((n,)))
+    acc = jax.lax.fori_loop(0, n_bits, body, curve.infinity((n,)))
     return curve.to_affine(acc)
 
 
@@ -49,22 +49,30 @@ def _points_from_scalars(gx, gy, scalars, *, curve: JacobianCurve):
 _GEN_CHUNK = 1 << 16
 
 
-def random_points(n: int, seed: int = 0, curve: JacobianCurve | None = None):
-    """n distinct-w.h.p. random affine points: (x, y, inf) device arrays."""
+def random_points(
+    n: int, seed: int = 0, curve: JacobianCurve | None = None, bits: int = SCALAR_BITS
+):
+    """n distinct-w.h.p. random affine points: (x, y, inf) device arrays.
+
+    `bits` bounds the dlogs to [1, 2^bits): the ladder then runs `bits`
+    steps instead of 254 — the CPU-mesh dry run uses bits=48 (distinct
+    w.h.p. at its sizes, ~5x cheaper generation); benches keep full-width
+    scalars."""
     curve = curve or G1_CURVE
     gen = ref_curve.G1_GEN if curve is G1_CURVE else ref_curve.G2_GEN
     gx, gy, _ = curve.encode_affine([gen])
     rng = np.random.default_rng(seed)
-    vals = [1 + int.from_bytes(rng.bytes(32), "little") % (FR.p - 1) for _ in range(n)]
+    mod = ((1 << bits) if bits < SCALAR_BITS else FR.p) - 1
+    vals = [1 + int.from_bytes(rng.bytes(32), "little") % mod for _ in range(n)]
     if n <= _GEN_CHUNK:
         scalars = jnp.asarray(ints_to_limbs(vals))
-        return _points_from_scalars(gx[0], gy[0], scalars, curve=curve)
+        return _points_from_scalars(gx[0], gy[0], scalars, curve=curve, n_bits=bits)
     xs, ys, infs = [], [], []
     for s in range(0, n, _GEN_CHUNK):
         chunk = vals[s : s + _GEN_CHUNK]
         pad = _GEN_CHUNK - len(chunk)  # keep one compiled shape
         scalars = jnp.asarray(ints_to_limbs(chunk + [1] * pad))
-        x, y, inf = _points_from_scalars(gx[0], gy[0], scalars, curve=curve)
+        x, y, inf = _points_from_scalars(gx[0], gy[0], scalars, curve=curve, n_bits=bits)
         m = len(chunk)
         xs.append(np.asarray(x)[:m])
         ys.append(np.asarray(y)[:m])

@@ -116,7 +116,7 @@ class BatchProver:
         from ..curves.jacobian import G1_CURVE, G2_CURVE, JacPoint
         from ..curves import ref_curve
         from ..fields import bn254
-        from ..ops.msm import msm
+        from ..ops.msm import msm_batch
 
         pk = self.prover.pk
         B = len(witnesses)
@@ -125,20 +125,24 @@ class BatchProver:
         def one_msm(table, merge, curve, scalars=None):
             # merge duplicate-row scalars per witness (the deduped tables
             # hold n_unique rows; feeding raw n_vars scalars would silently
-            # clip the out-of-range gathers — groth16/prover.py:70-105)
-            def single(wi):
-                wi = Groth16Prover._merge_scalars(wi, merge)
-                pt = msm(*table, wi, curve=curve, lanes=self.prover.lanes)
-                return pt.x, pt.y, pt.z
-
-            return jax.vmap(single)(w if scalars is None else scalars)
+            # clip the out-of-range gathers — groth16/prover.py:70-105),
+            # then ONE batched flat-stream MSM over the shared table
+            src = w if scalars is None else scalars
+            merged = jnp.stack(
+                [Groth16Prover._merge_scalars(src[i], merge) for i in range(B)]
+            )
+            pt = msm_batch(*table, merged, curve=curve)
+            return pt.x, pt.y, pt.z
 
         p = self.prover
         msm_a = one_msm(p.points_a, p._merge_a, G1_CURVE)
         msm_b1 = one_msm(p.points_b1, p._merge_b1, G1_CURVE)
         msm_b2 = one_msm(p.points_b2, p._merge_b2, G2_CURVE)
         msm_c = one_msm(p.points_c, p._merge_c, G1_CURVE)
-        h = jax.vmap(p._h_scalars)(w)
+        # the h pipeline reuses the single-prover compiled graphs per
+        # element (async dispatch overlaps them); vmap would force separate
+        # batched compiles of the NTT kernels for every batch size
+        h = jnp.stack([p._h_scalars(w[i]) for i in range(B)])
         msm_h = one_msm(p.points_h, p._merge_h, G1_CURVE, scalars=h)
 
         proofs = []

@@ -93,6 +93,9 @@ def run_full_prove(config: str = "small", repeat: int = 2) -> dict:
         }
         print(f"prove request {i}: {t3 - t2:.1f}s  OK  {phases}", file=sys.stderr)
 
+    zkey_path = os.path.join(
+        state.config.resources_dir, "default", "prover_key.zkey"
+    )
     return {
         "status": "ok",
         "config": config,
@@ -101,6 +104,13 @@ def run_full_prove(config: str = "small", repeat: int = 2) -> dict:
         "phases": phases,
         "n_vars": state.prover.pk.n_vars,
         "domain_size": state.prover.pk.domain_size,
+        # full-scale snarkjs-format zkey interop evidence: warm service
+        # start parses this zkey through groth16/zkey.py (the same loader
+        # the circom interop tests drive), cf. fullprover.cpp:140-174.
+        "setup_ms": round((t1 - t0) * 1e3, 1),
+        "zkey_bytes": (
+            os.path.getsize(zkey_path) if os.path.exists(zkey_path) else None
+        ),
     }
 
 

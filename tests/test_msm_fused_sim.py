@@ -112,3 +112,31 @@ def test_fused_compacted_sparse_matches_host(sim_kernels):
     )
     [dec] = G1_CURVE.decode_jacobian(JacPoint(got.x[None], got.y[None], got.z[None]))
     assert dec == _host_msm(ref_curve.G1, pts, vals)
+
+
+@pytest.mark.slow
+def test_fused_batched_matches_host(sim_kernels):
+    """batch=3 scalar vectors against one table == 3 host MSMs (the
+    BatchProver device sweep: one sort/scan, batch-offset bucket ids)."""
+    n = 700
+    B = 3
+    rng = np.random.default_rng(31)
+    pts = [ref_curve.G1.mul(ref_curve.G1_GEN, 1 + int(k)) for k in rng.integers(0, 1 << 40, n)]
+    pts[4] = None
+    vecs = [_scalars(rng, n, FR.p) for _ in range(B)]
+    vecs[1] = [int(rng.integers(0, 2)) for _ in range(n)]  # sparse element
+    px, py, pinf = G1_CURVE.encode_affine(pts)
+    sc = jnp.stack([jnp.asarray(ints_to_limbs(v)) for v in vecs])
+    c = 8
+    Wn = -(-M.SCALAR_BITS // c)
+    cap = 1 << (B * Wn * n - 1).bit_length()
+    got = M._msm_pippenger_fused(
+        px, py, pinf, sc,
+        tag="fq", c=c, v=1024, cap=cap, chunk=cap // 2,
+        assume_distinct=True, batch=B,
+    )
+    for b in range(B):
+        [dec] = G1_CURVE.decode_jacobian(
+            JacPoint(got.x[b][None], got.y[b][None], got.z[b][None])
+        )
+        assert dec == _host_msm(ref_curve.G1, pts, vecs[b]), f"batch element {b}"
