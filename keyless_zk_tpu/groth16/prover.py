@@ -22,6 +22,7 @@ cancels (see its docstring).
 
 from __future__ import annotations
 
+import functools
 import secrets
 from dataclasses import dataclass
 
@@ -65,6 +66,47 @@ class Proof:
 # coefficient-table entries evaluated per device pass (~260 MB of limb data
 # per slice; the full keyless table is ~42.7M entries)
 _COEF_CHUNK = 1 << 22
+
+
+@functools.partial(jax.jit, static_argnames=("d_los", "m2"))
+def _eval_ab_fused(
+    witness: jnp.ndarray,
+    coef_s: jnp.ndarray,
+    coef_val: jnp.ndarray,
+    s_pos: tuple,
+    e_pos: tuple,
+    *,
+    d_los: tuple,
+    m2: int,
+) -> jnp.ndarray:
+    """witness -> concatenated a|b evaluation vectors (m2, 16).
+
+    The sorted coef table streams in _COEF_CHUNK slices; each chunk
+    reduces via cumsum + static boundary gathers (no scatter anywhere —
+    XLA's segment_sum scatter-add measured ~10 s across this pipeline on
+    TPU) and lands in the accumulator with a static slice-add (exact:
+    each dest row holds < 2^23 8-bit terms). One jit over the whole chain
+    so XLA fuses the mul/split/cumsum passes (eager per-op dispatch paid
+    a full HBM round-trip per op); tables arrive as ARGUMENTS — closing
+    over them capture-compiles multi-GB constants into the executable.
+    Replaces the reference's 1024-spinlock scatter (groth16.cpp:135-156).
+    """
+    acc_lo = jnp.zeros((m2, NUM_LIMBS), jnp.uint32)
+    acc_hi = jnp.zeros((m2, NUM_LIMBS), jnp.uint32)
+    zs = jnp.zeros((1, NUM_LIMBS), jnp.uint32)
+    for ci, d_lo in enumerate(d_los):
+        av = jf.mont_mul(
+            jnp.take(witness, coef_s[ci], axis=0), coef_val[ci], FR
+        )
+        lo, hi = jf.split8(av)
+        slo = jnp.concatenate([zs, jnp.cumsum(lo, axis=0, dtype=jnp.uint32)])
+        shi = jnp.concatenate([zs, jnp.cumsum(hi, axis=0, dtype=jnp.uint32)])
+        dlo = jnp.take(slo, e_pos[ci], axis=0) - jnp.take(slo, s_pos[ci], axis=0)
+        dhi = jnp.take(shi, e_pos[ci], axis=0) - jnp.take(shi, s_pos[ci], axis=0)
+        w = dlo.shape[0]
+        acc_lo = acc_lo.at[d_lo : d_lo + w].add(dlo)
+        acc_hi = acc_hi.at[d_lo : d_lo + w].add(dhi)
+    return jf.fold_split8_mod(acc_lo, acc_hi, FR)
 
 
 def _dedup_point_table(x: np.ndarray, y: np.ndarray, inf: np.ndarray):
@@ -237,32 +279,16 @@ class Groth16Prover:
 
     def _eval_ab(self, witness: jnp.ndarray) -> jnp.ndarray:
         """Coefficient-table evaluation: witness -> concatenated a|b vectors
-        (2*domain, 16). The sorted table streams in _COEF_CHUNK slices;
-        each chunk reduces via cumsum + static boundary gathers (no
-        scatter anywhere — XLA's segment_sum scatter-add measured ~10 s
-        across this pipeline on TPU) and lands in the accumulator with a
-        static slice-add (exact: each dest row holds < 2^23 8-bit terms).
-        Replaces the reference's 1024-spinlock scatter (groth16.cpp:135-156).
-        """
-        m2 = 2 * self.pk.domain_size
-        acc_lo = jnp.zeros((m2, NUM_LIMBS), jnp.uint32)
-        acc_hi = jnp.zeros((m2, NUM_LIMBS), jnp.uint32)
-        zs = jnp.zeros((1, NUM_LIMBS), jnp.uint32)
-        for ci, (d_lo, s_pos, e_pos) in enumerate(self._coef_chunks):
-            av = jf.mont_mul(
-                jnp.take(witness, self.coef_s[ci], axis=0),
-                self.coef_val[ci],
-                FR,
-            )
-            lo, hi = jf.split8(av)
-            slo = jnp.concatenate([zs, jnp.cumsum(lo, axis=0, dtype=jnp.uint32)])
-            shi = jnp.concatenate([zs, jnp.cumsum(hi, axis=0, dtype=jnp.uint32)])
-            dlo = jnp.take(slo, e_pos, axis=0) - jnp.take(slo, s_pos, axis=0)
-            dhi = jnp.take(shi, e_pos, axis=0) - jnp.take(shi, s_pos, axis=0)
-            w = dlo.shape[0]
-            acc_lo = acc_lo.at[d_lo : d_lo + w].add(dlo)
-            acc_hi = acc_hi.at[d_lo : d_lo + w].add(dhi)
-        return jf.fold_split8_mod(acc_lo, acc_hi, FR)
+        (2*domain, 16); one fused jit (see _eval_ab_fused)."""
+        return _eval_ab_fused(
+            witness,
+            self.coef_s,
+            self.coef_val,
+            tuple(s for _, s, _e in self._coef_chunks),
+            tuple(e for _, _s, e in self._coef_chunks),
+            d_los=tuple(d for d, _s, _e in self._coef_chunks),
+            m2=2 * self.pk.domain_size,
+        )
 
     def _h_scalars(self, witness: jnp.ndarray) -> jnp.ndarray:
         """Witness -> MSM_H scalar vector (the NTT phase), fully on device."""
@@ -286,23 +312,56 @@ class Groth16Prover:
 
     def prove(self, witness_limbs: np.ndarray, r: int | None = None, s: int | None = None) -> Proof:
         """witness_limbs: (nVars, 16) uint32 standard-form limb rows."""
+        import os as _os
+        import time as _time
+
+        trace = _os.environ.get("KEYLESS_PROVE_TRACE") == "1"
+        t_last = _time.monotonic()
+
+        def _mark(name, out):
+            # KEYLESS_PROVE_TRACE=1: host-readback sync after each stage and
+            # log its wall time (block_until_ready is a no-op over the axon
+            # tunnel, so a tiny device_get is the only real sync)
+            nonlocal t_last
+            if trace:
+                leaf = jax.tree.leaves(out)[0]
+                np.asarray(jax.device_get(leaf.ravel()[:1]))
+                now = _time.monotonic()
+                print(f"prove.{name}: {(now - t_last) * 1e3:.1f} ms", flush=True)
+                t_last = now
+            return out
+
         pk = self.pk
-        w = jnp.asarray(witness_limbs)
+        # limb rows are 16-bit by construction: ship half the bytes over
+        # the (~90 MB/s) device tunnel and widen on device
+        w = _mark("to_device", jnp.asarray(
+            np.asarray(witness_limbs).astype(np.uint16)
+        ).astype(jnp.uint32))
         assert w.shape == (pk.n_vars, NUM_LIMBS)
 
-        msm_a = msm(*self.points_a, self._merge_scalars(w, self._merge_a),
-                    curve=G1_CURVE, lanes=self.lanes)
-        msm_b1 = msm(*self.points_b1, self._merge_scalars(w, self._merge_b1),
-                     curve=G1_CURVE, lanes=self.lanes)
-        msm_b2 = msm(*self.points_b2, self._merge_scalars(w, self._merge_b2),
-                     curve=G2_CURVE, lanes=self.lanes)
+        msm_a = _mark("msm_a", msm(
+            *self.points_a,
+            _mark("merge_a", self._merge_scalars(w, self._merge_a)),
+            curve=G1_CURVE, lanes=self.lanes))
+        msm_b1 = _mark("msm_b1", msm(
+            *self.points_b1,
+            _mark("merge_b1", self._merge_scalars(w, self._merge_b1)),
+            curve=G1_CURVE, lanes=self.lanes))
+        msm_b2 = _mark("msm_b2", msm(
+            *self.points_b2,
+            _mark("merge_b2", self._merge_scalars(w, self._merge_b2)),
+            curve=G2_CURVE, lanes=self.lanes))
         # the public rows of the padded C table are infinity, so the full
         # witness is a valid scalar vector here
-        msm_c = msm(*self.points_c, self._merge_scalars(w, self._merge_c),
-                    curve=G1_CURVE, lanes=self.lanes)
-        h = self._h_scalars(w)
-        msm_h = msm(*self.points_h, self._merge_scalars(h, self._merge_h),
-                    curve=G1_CURVE, lanes=self.lanes)
+        msm_c = _mark("msm_c", msm(
+            *self.points_c,
+            _mark("merge_c", self._merge_scalars(w, self._merge_c)),
+            curve=G1_CURVE, lanes=self.lanes))
+        h = _mark("h_scalars", self._h_scalars(w))
+        msm_h = _mark("msm_h", msm(
+            *self.points_h,
+            _mark("merge_h", self._merge_scalars(h, self._merge_h)),
+            curve=G1_CURVE, lanes=self.lanes))
 
         # decode the five MSM results to host affine points
         a_pt = G1_CURVE.decode_jacobian(JacPoint(*jax.tree.map(lambda v: v[None], msm_a)))[0]
@@ -310,6 +369,7 @@ class Groth16Prover:
         b2_pt = G2_CURVE.decode_jacobian(JacPoint(*jax.tree.map(lambda v: v[None], msm_b2)))[0]
         c_pt = G1_CURVE.decode_jacobian(JacPoint(*jax.tree.map(lambda v: v[None], msm_c)))[0]
         h_pt = G1_CURVE.decode_jacobian(JacPoint(*jax.tree.map(lambda v: v[None], msm_h)))[0]
+        _mark("decode", w)
 
         # host tail: blinding and final point assembly (groth16.cpp:288-353)
         r = _sample_fr() if r is None else r

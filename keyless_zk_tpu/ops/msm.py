@@ -269,7 +269,7 @@ def msm(
 
         cw = c or fused_window_bits(n)
         Wn = -(-SCALAR_BITS // cw)
-        V = scan_v or (8192 if tag == "fq" else 4096)
+        V = scan_v or _default_scan_v(tag)
         total = Wn * n
 
         def p2(x: int) -> int:
@@ -337,7 +337,7 @@ def msm_batch(
 
     cw = c or fused_window_bits(n)
     Wn = -(-SCALAR_BITS // cw)
-    V = scan_v or (8192 if tag == "fq" else 4096)
+    V = scan_v or _default_scan_v(tag)
     total = B * Wn * n
 
     def p2(x: int) -> int:
@@ -367,6 +367,18 @@ def _count_nonzero_digits_batch(scalars: jnp.ndarray, *, c: int) -> jnp.ndarray:
     """Total nonzero signed digits across a (B, n, 16) scalar batch."""
     keys, _ = jax.vmap(lambda s: extract_digits_signed(s, c))(scalars)
     return jnp.sum((keys >= 1).astype(jnp.int32))
+
+
+def _default_scan_v(tag: str) -> int:
+    """Scan-kernel lane count (KEYLESS_MSM_V / KEYLESS_MSM_V_FQ2 override).
+
+    More lanes = fewer serialized slab steps per stream chunk; the cap is
+    VMEM (the scan holds ~14 point-sized rows of R*V u32 — a G2 fold at
+    104k lanes OOM'd the 100 MB scoped budget in round 4)."""
+    env = os.environ.get(
+        "KEYLESS_MSM_V_FQ2" if tag == "fq2" else "KEYLESS_MSM_V", "0"
+    )
+    return int(env) or (8192 if tag == "fq" else 4096)
 
 
 def _flat_chunk_entries(tag: str) -> int:
@@ -483,29 +495,47 @@ def _msm_pippenger_fused(
             (kr, pr), num_keys=1, is_stable=False, dimension=1
         )
 
-    # compaction: output slot p maps to row rw = searchsorted(offs, p) - 1,
-    # local offset p - offs[rw]; p past the total real count clips to the
-    # sentinel (bucket n_seg / point-table infinity row)
-    nnz_rows = jnp.sum(real.reshape(rows, n), axis=1, dtype=jnp.int32)
-    offs = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nnz_rows, dtype=jnp.int32)]
-    )
-    pos_c = jax.lax.iota(jnp.int32, cap)
-    # right-bisect(offs, p) == left-bisect(offs, p+1) over integer offsets
-    # (_searchsorted, not jnp.searchsorted — see its docstring)
-    rw = _searchsorted(offs, pos_c + 1) - 1
-    valid = pos_c < offs[rows]
-    src = jnp.where(valid, jnp.clip(rw, 0, rows - 1) * n + pos_c
-                    - jnp.take(offs, jnp.clip(rw, 0, rows - 1)), 0)
-    dig = jnp.take(kr_s.reshape(rows * n), src)
-    fb_s = jnp.where(valid, jnp.clip(rw, 0, rows - 1) * NB_pad + dig, n_seg)
-    pay_s = jnp.where(valid, jnp.take(pr_s.reshape(rows * n), src), n)
+    compacted = cap < rows * n
+    if compacted:
+        # compaction: output slot p maps to row rw = searchsorted(offs, p)-1,
+        # local offset p - offs[rw]; p past the total real count clips to
+        # the sentinel (bucket n_seg / point-table infinity row)
+        nnz_rows = jnp.sum(real.reshape(rows, n), axis=1, dtype=jnp.int32)
+        offs = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(nnz_rows, dtype=jnp.int32)]
+        )
+        pos_c = jax.lax.iota(jnp.int32, cap)
+        # right-bisect(offs, p) == left-bisect(offs, p+1) over integer
+        # offsets (_searchsorted, not jnp.searchsorted — see its docstring)
+        rw = _searchsorted(offs, pos_c + 1) - 1
+        valid = pos_c < offs[rows]
+        src = jnp.where(valid, jnp.clip(rw, 0, rows - 1) * n + pos_c
+                        - jnp.take(offs, jnp.clip(rw, 0, rows - 1)), 0)
+        dig = jnp.take(kr_s.reshape(rows * n), src)
+        fb_s = jnp.where(valid, jnp.clip(rw, 0, rows - 1) * NB_pad + dig, n_seg)
+        pay_s = jnp.where(valid, jnp.take(pr_s.reshape(rows * n), src), n)
+    else:
+        # DENSE mode (caller saw nnz ~= rows*n, e.g. the H MSM's uniform
+        # scalars): the row-sorted planes ARE the stream — no compaction
+        # gathers at all. Row tails' sentinel digits (NB_pad) land in the
+        # next window's digit-0 pseudo-bucket (rw+1)*NB_pad, which carries
+        # weight 0 in the bucket reduction and gathers the infinity row,
+        # so they are arithmetic no-ops wherever they end up.
+        warr = jax.lax.iota(jnp.int32, rows)[:, None]
+        fb_s = (warr * NB_pad + kr_s).reshape(rows * n)
+        pay_s = pr_s.reshape(rows * n)
+        if cap > rows * n:
+            fb_s = jnp.pad(fb_s, (0, cap - rows * n), constant_values=n_seg)
+            pay_s = jnp.pad(pay_s, (0, cap - rows * n), constant_values=n)
 
-    # master point table with a sentinel infinity row at index n;
-    # row-major (point-major) so stream gathers read 64-byte rows
-    zrow = jnp.zeros((1, R), jnp.uint32)
-    pxr = jnp.concatenate([points_x.reshape(n, R), zrow])  # (n+1, R)
-    pyr = jnp.concatenate([points_y.reshape(n, R), zrow])
+    # master point table with a sentinel infinity row at index n; x||y
+    # packed point-major as u16 (limbs are 16-bit), so each stream entry
+    # is ONE 4R-byte row gather — the round-5 residual probe measured the
+    # two separate u32-row gathers at 507 ms of a 1518 ms 2^20 MSM.
+    pxy16 = jnp.concatenate(
+        [points_x.reshape(n, R), points_y.reshape(n, R)], axis=1
+    ).astype(jnp.uint16)
+    pxy16 = jnp.concatenate([pxy16, jnp.zeros((1, 2 * R), jnp.uint16)])
     pinf_ext = jnp.concatenate([points_inf, jnp.ones((1,), bool)])
 
     # global bucket geometry from the sorted keys alone. Element at flat
@@ -516,9 +546,14 @@ def _msm_pippenger_fused(
     ends = jax.ops.segment_max(
         pos, fb_s, n_seg + 1, indices_are_sorted=True
     )[:n_seg]
-    starts = jax.ops.segment_min(
-        pos, fb_s, n_seg + 1, indices_are_sorted=True
-    )[:n_seg]
+    # starts from ends alone (saves the twin segment_min pass): the stream
+    # is sorted by bucket, so bucket k starts right after the last filled
+    # position of any earlier bucket (empty buckets contribute INT32_MIN
+    # to the running max and keep starts > ends — the "empty" signature)
+    prev = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), jax.lax.cummax(ends)[:-1]]
+    )
+    starts = jnp.maximum(prev, -1) + 1
     interior = (
         (ends >= starts)
         & (starts // L == ends // L)
@@ -550,8 +585,9 @@ def _msm_pippenger_fused(
         keys_sm = smaj(kw)
         neg_sm = smaj(neg)
         flat_ord = ord_sm.reshape(chunk)
-        gx = jnp.take(pxr, flat_ord, axis=0).T.reshape(R, L, 8, Wd)
-        gy = jnp.take(pyr, flat_ord, axis=0).T.reshape(R, L, 8, Wd)
+        g = jnp.take(pxy16, flat_ord, axis=0).T.astype(jnp.uint32)  # (2R, chunk)
+        gx = g[:R].reshape(R, L, 8, Wd)
+        gy = g[R:].reshape(R, L, 8, Wd)
         inf_sm = pinf_ext[ord_sm]
         flags = inf_sm.astype(jnp.int32) | (neg_sm << 1)
 

@@ -247,8 +247,20 @@ class ProverServiceState:
             from ..groth16.pairing import verify_groth16
 
             if not verify_groth16(self.vk, [public_inputs_hash], proof_json):
+                # transient device faults happen (one observed mid-round-5
+                # under heavy compile churn); the re-verify exists exactly
+                # to catch them, so retry the device work once before
+                # failing the request
                 PROOFS_TOTAL.inc(outcome="verify_failed")
-                raise InternalError("generated proof failed verification")
+                if self.batch_prover is not None:
+                    proof = self.batch_prover.prove(w_np)
+                else:
+                    with self.prove_lock:
+                        proof = self.prover.prove(w_np)
+                proof_json = proof.to_json_dict()
+                if not verify_groth16(self.vk, [public_inputs_hash], proof_json):
+                    PROOFS_TOTAL.inc(outcome="verify_failed")
+                    raise InternalError("generated proof failed verification")
 
         with phase("training_wheels_sign"):
             msg = proof_and_statement_bytes(proof_json, public_inputs_hash)

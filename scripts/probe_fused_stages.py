@@ -1,13 +1,13 @@
-"""Cumulative stage timings of the CURRENT fused MSM (round-4 folded form).
+"""Per-stage cost split of the CURRENT flat-stream fused MSM.
 
-Variants (each its own jit, early-exiting the real pipeline):
-  A. digits + packed sort
-  B. A + folded gather + ONE window_scan over g*V lanes
-  C. B + boundary merge + batched searchsorted + bucket-table gathers
-  D. full msm()
-Deltas give: sort | scan kernel | merge+gather | reduce+horner.
+Measures by SUBSTITUTION: each variant replaces ONE real Pallas kernel
+with a shape-correct fake whose outputs still depend on its inputs (so
+XLA cannot dead-code the upstream stages), then re-times the whole
+pipeline. full - variant = that kernel's cost; the all-fakes variant is
+the residual XLA work (digit extract, sort, compaction, stream/table
+gathers, bucket geometry).
 
-    N_POW=16 python scripts/probe_fused_stages.py
+    N_POW=20 [C_BITS=..] [V_POW=..] python scripts/probe_fused_stages.py
 """
 
 import os, sys, time
@@ -30,7 +30,6 @@ from keyless_zk_tpu.ops.testgen import random_points, random_scalars
 
 N_POW = int(os.environ.get("N_POW", "16"))
 n = 1 << N_POW
-V = 1 << int(os.environ.get("V_POW", "13"))
 
 px, py, pinf = random_points(n, seed=42)
 scalars = random_scalars(n, seed=43)
@@ -38,6 +37,7 @@ jax.block_until_ready((px, py, scalars))
 
 c = int(os.environ.get("C_BITS", "0")) or M.fused_window_bits(n)
 tag = "fq"
+V = 1 << int(os.environ.get("V_POW", "0")) if os.environ.get("V_POW") else M._default_scan_v(tag)
 R = field_for(tag).rows
 Wn = -(-M.SCALAR_BITS // c)
 nnz = int(M._count_nonzero_digits(scalars, c=c))
@@ -49,75 +49,96 @@ print(
     flush=True,
 )
 
+REAL = {
+    name: getattr(pallas_msm, name)
+    for name in ("window_scan", "boundary_merge", "weighted_bucket_total", "horner_total")
+}
 
-def cut(stage):
-    """Build a jit that runs _msm_pippenger_fused but stops after `stage`
-    by monkeypatching downstream kernels to cheap passthroughs."""
 
-    real_scan = pallas_msm.window_scan
-    real_merge = pallas_msm.boundary_merge
-    real_wt = pallas_msm.weighted_bucket_total
-    real_h = pallas_msm.horner_total
+def _tap(*arrays):
+    """A scalar that depends on every input (keeps upstream live)."""
+    return sum(jnp.sum(a.astype(jnp.uint32)) for a in arrays)
 
-    class Stop(Exception):
-        pass
 
-    box = {}
+def fake_scan(tag, keys, flags, px_, py_, *, V, assume_distinct=True):
+    L, _, Wd = keys.shape
+    t = _tap(keys, flags, px_, py_)
+    emit = jnp.broadcast_to(t, (R, L, 8, Wd)).astype(jnp.uint32)
+    k1 = jnp.zeros((1, 8, Wd), jnp.int32) + t.astype(jnp.int32) * 0
+    p1 = jnp.broadcast_to(t, (R, 1, 8, Wd)).astype(jnp.uint32)
+    return (emit, emit, emit, k1, p1, p1, p1, k1, p1, p1, p1)
 
-    def fake_scan(*a, **k):
-        box["out"] = sum(jnp.sum(x.astype(jnp.uint32)) for x in a[1:3])
-        raise Stop
 
-    def fake_merge(tag, keys, *pts):
-        box["out"] = sum(jnp.sum(p) for p in pts) + jnp.sum(keys).astype(jnp.uint32)
-        raise Stop
+def fake_merge(tag, keys, px_, py_, pz_, max_steps=None):
+    t = _tap(keys, px_, py_, pz_) + (0 if max_steps is None else max_steps.astype(jnp.uint32) * 0)
+    return tuple(jnp.broadcast_to(t, p.shape).astype(jnp.uint32) for p in (px_, py_, pz_))
 
-    def fake_wt(tag, bx, by, bz):
-        box["out"] = jnp.sum(bx) + jnp.sum(by) + jnp.sum(bz)
-        raise Stop
 
-    patches = {
-        "sort": {"window_scan": fake_scan},
-        "scan": {"boundary_merge": fake_merge},
-        "tables": {"weighted_bucket_total": fake_wt},
-        "full": {},
-    }[stage]
+def fake_wt(tag, bx, by, bz):
+    t = _tap(bx, by, bz)
+    shp = (bx.shape[0], R)
+    return tuple(jnp.broadcast_to(t, shp).astype(jnp.uint32) for _ in range(3))
+
+
+def fake_horner(tag, wx, wy, wz, c):
+    t = _tap(wx, wy, wz)
+    return tuple(jnp.broadcast_to(t, (R,)).astype(jnp.uint32) for _ in range(3))
+
+
+FAKES = {
+    "window_scan": fake_scan,
+    "boundary_merge": fake_merge,
+    "weighted_bucket_total": fake_wt,
+    "horner_total": fake_horner,
+}
+
+
+def variant(replaced):
+    """jit of the pipeline with `replaced` kernels faked."""
 
     def run(px_, py_, pinf_, sc_):
-        for name, fn in patches.items():
-            setattr(pallas_msm, name, fn)
+        for name in REAL:
+            setattr(pallas_msm, name, FAKES[name] if name in replaced else REAL[name])
         try:
             out = M._msm_pippenger_fused.__wrapped__(
                 px_, py_, pinf_, sc_, tag=tag, c=c, v=V, cap=cap, chunk=chunk,
                 assume_distinct=True,
             )
-            return out.x.sum() + out.y.sum() + out.z.sum()
-        except Stop:
-            return box["out"]
+            return jnp.sum(out.x) + jnp.sum(out.y) + jnp.sum(out.z)
         finally:
-            pallas_msm.window_scan = real_scan
-            pallas_msm.boundary_merge = real_merge
-            pallas_msm.weighted_bucket_total = real_wt
-            pallas_msm.horner_total = real_h
+            for name, fn in REAL.items():
+                setattr(pallas_msm, name, fn)
 
     return jax.jit(run)
 
 
-def timeit(name, fn, *args, iters=3):
+def timeit(name, fn, iters=3):
     t0 = time.perf_counter()
-    out = fn(*args)
-    np.asarray(jax.device_get(jax.tree.leaves(out)[0].ravel()[:1]))
-    print(f"{name}: compile+first {time.perf_counter()-t0:.1f}s", flush=True)
-    ts = []
+    out = fn(px, py, pinf, scalars)
+    np.asarray(jax.device_get(out.ravel()[:1]))
+    print(f"{name}: compile+first {time.perf_counter() - t0:.1f}s", flush=True)
+    best = None
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        np.asarray(jax.device_get(jax.tree.leaves(out)[0].ravel()[:1]))
-        ts.append(time.perf_counter() - t0)
-    print(f"{name}: {min(ts)*1e3:.2f} ms", flush=True)
+        out = fn(px, py, pinf, scalars)
+        np.asarray(jax.device_get(out.ravel()[:1]))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    print(f"{name}: {best * 1e3:.1f} ms", flush=True)
+    return best
 
 
-timeit("A sort          ", cut("sort"), px, py, pinf, scalars)
-timeit("B +scan         ", cut("scan"), px, py, pinf, scalars)
-timeit("C +merge+gather ", cut("tables"), px, py, pinf, scalars)
-timeit("D full          ", cut("full"), px, py, pinf, scalars)
+full = timeit("full", variant(frozenset()))
+no_scan = timeit("no_scan", variant(frozenset({"window_scan"})))
+no_merge = timeit("no_merge", variant(frozenset({"boundary_merge"})))
+no_wt = timeit("no_wt", variant(frozenset({"weighted_bucket_total", "horner_total"})))
+residual = timeit("residual(all fakes)", variant(frozenset(FAKES)))
+
+print(
+    f"\nsplit @ n=2^{N_POW}: scan={1e3 * (full - no_scan):.1f}ms "
+    f"merge={1e3 * (full - no_merge):.1f}ms "
+    f"reduce+horner={1e3 * (full - no_wt):.1f}ms "
+    f"sort+gather+geometry(residual)={1e3 * residual:.1f}ms "
+    f"full={1e3 * full:.1f}ms",
+    flush=True,
+)

@@ -114,8 +114,11 @@ def main() -> int:
     mark("msm_b2", lambda: msm(*ms.points_b2, wb2, curve=G2_CURVE, lanes=ms.lanes))
     mark("msm_c", lambda: msm(*ms.points_c, wc, curve=G1_CURVE, lanes=ms.lanes))
 
-    ab = mark("eval_ab", jax.jit(ms._eval_ab), w)
-    h = mark("h_scalars(incl eval_ab)", jax.jit(ms._h_scalars), w)
+    # eager, exactly as prove() runs them (a whole-function jit would
+    # capture the multi-GB coef tables as constants and blow the remote
+    # compile body limit)
+    ab = mark("eval_ab", ms._eval_ab, w)
+    h = mark("h_scalars(incl eval_ab)", ms._h_scalars, w)
     hm = mark("merge_h", ms._merge_scalars, h, ms._merge_h)
     mark("msm_h", lambda: msm(*ms.points_h, hm, curve=G1_CURVE, lanes=ms.lanes))
 
