@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .field_ops import FQ2_OPS, FQ_OPS, Fq2Ops, FqOps
@@ -171,8 +172,15 @@ class JacobianCurve:
         return self.ops.encode(xs), self.ops.encode(ys), inf
 
     def decode_jacobian(self, p: JacPoint):
-        """Device Jacobian batch -> list of host affine points (None = inf)."""
-        x, y, inf = self.to_affine(p)
+        """Device Jacobian batch -> list of host affine points (None = inf).
+
+        to_affine runs as ONE jitted graph: eager dispatch of its Fermat
+        inversion chain (~380 tiny kernels) cost ~100 ms per decode over
+        the device tunnel — ~0.5 s of the warm full proof across the five
+        MSM results."""
+        if "_to_affine_fn" not in self.__dict__:
+            self._to_affine_fn = jax.jit(lambda q: self.to_affine(q))
+        x, y, inf = jax.device_get(self._to_affine_fn(p))  # ONE readback RTT
         xs = self.ops.decode(x)
         ys = self.ops.decode(y)
         return [None if i else (xx, yy) for xx, yy, i in zip(xs, ys, list(inf))]

@@ -337,30 +337,32 @@ def segment_sum_mod(
 @functools.partial(jax.jit, static_argnames="spec")
 def sorted_segment_sum_mod(
     values: jnp.ndarray,
-    s_pos: jnp.ndarray,
-    e_pos: jnp.ndarray,
+    bounds: jnp.ndarray,
     spec: FieldSpec,
 ) -> jnp.ndarray:
-    """Segment sums of a PRE-SORTED value sequence via cumsum + boundary
-    gathers: out[k] = sum(values[s_pos[k]:e_pos[k]]) mod p (scaled by R^-1,
-    same convention as segment_sum_mod).
+    """Segment sums of a PRE-SORTED value sequence partitioned by `bounds`
+    (k+1 ascending positions): out[k] = sum(values[bounds[k]:bounds[k+1]])
+    mod p (scaled by R^-1, same convention as segment_sum_mod).
 
     Replaces jax.ops.segment_sum for the static-boundary cases (zkey
     coefficient rows, dedup merge groups): XLA lowers segment_sum to a
     scatter-add, which runs ~serially on TPU — the round-5 probe measured
     270 ms per 1.4M-row merge and ~10 s across the coefficient pipeline.
-    Cumsum + two gathers is dense, vectorized work. Exactness: 8-bit
-    column splits keep every cumulative sum < 2^32 for < 2^24 rows, and
-    each out[k] difference is a < 2^23-term segment total (< 2^31).
+    Cumsum + ONE boundary gather + shifted difference is dense work (row
+    gathers dominate this pipeline — probe_eval_ab measured cumsum at
+    36 ms vs ~310 ms for two 2^22-row takes, hence the shared-boundary
+    form). Exactness: 8-bit column splits keep every cumulative sum
+    < 2^32 for < 2^24 rows, and each out[k] difference is a < 2^23-term
+    segment total (< 2^31).
     """
     assert values.shape[0] < (1 << 24), "sorted_segment_sum_mod: too many rows"
     lo, hi = split8(values)
     zs = jnp.zeros((1, values.shape[-1]), jnp.uint32)
     slo = jnp.concatenate([zs, jnp.cumsum(lo, axis=0, dtype=jnp.uint32)])
     shi = jnp.concatenate([zs, jnp.cumsum(hi, axis=0, dtype=jnp.uint32)])
-    sum_lo = jnp.take(slo, e_pos, axis=0) - jnp.take(slo, s_pos, axis=0)
-    sum_hi = jnp.take(shi, e_pos, axis=0) - jnp.take(shi, s_pos, axis=0)
-    return fold_split8_mod(sum_lo, sum_hi, spec)
+    blo = jnp.take(slo, bounds, axis=0)
+    bhi = jnp.take(shi, bounds, axis=0)
+    return fold_split8_mod(blo[1:] - blo[:-1], bhi[1:] - bhi[:-1], spec)
 
 
 def split8(values: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -67,14 +67,21 @@ class Proof:
 # per slice; the full keyless table is ~42.7M entries)
 _COEF_CHUNK = 1 << 22
 
+# window bits for the four WITNESS MSMs. Their scalars are ~94% bit-valued
+# (digits only in window 0), so nnz — and with it the scan/sort/gather
+# stream — is nearly c-independent, while the dense bucket-table costs
+# (table gathers, weighted reduction) scale with ceil(254/c)*2^(c-1):
+# c=12 shrinks them ~8x vs the dense-optimal width. The H MSM's uniform
+# scalars keep the default fused_window_bits choice.
+_SPARSE_C = 12
+
 
 @functools.partial(jax.jit, static_argnames=("d_los", "m2"))
 def _eval_ab_fused(
     witness: jnp.ndarray,
     coef_s: jnp.ndarray,
     coef_val: jnp.ndarray,
-    s_pos: tuple,
-    e_pos: tuple,
+    bounds: tuple,
     *,
     d_los: tuple,
     m2: int,
@@ -101,12 +108,56 @@ def _eval_ab_fused(
         lo, hi = jf.split8(av)
         slo = jnp.concatenate([zs, jnp.cumsum(lo, axis=0, dtype=jnp.uint32)])
         shi = jnp.concatenate([zs, jnp.cumsum(hi, axis=0, dtype=jnp.uint32)])
-        dlo = jnp.take(slo, e_pos[ci], axis=0) - jnp.take(slo, s_pos[ci], axis=0)
-        dhi = jnp.take(shi, e_pos[ci], axis=0) - jnp.take(shi, s_pos[ci], axis=0)
+        # adjacent segments share boundaries (s_pos == bounds[:-1],
+        # e_pos == bounds[1:]), so ONE gather of the bounds + a shifted
+        # difference replaces two gathers — row gathers are the dominant
+        # cost of this pipeline (probe_eval_ab: cumsum 36 ms, the two
+        # takes ~310 ms at 2^22)
+        blo = jnp.take(slo, bounds[ci], axis=0)
+        bhi = jnp.take(shi, bounds[ci], axis=0)
+        dlo = blo[1:] - blo[:-1]
+        dhi = bhi[1:] - bhi[:-1]
         w = dlo.shape[0]
         acc_lo = acc_lo.at[d_lo : d_lo + w].add(dlo)
         acc_hi = acc_hi.at[d_lo : d_lo + w].add(dhi)
     return jf.fold_split8_mod(acc_lo, acc_hi, FR)
+
+
+@functools.partial(jax.jit, static_argnames="n")
+def _assemble_witness(limb0, exc_idx, exc_vals, *, n: int):
+    """(limb0 u16, exceptional rows) -> dense (n, 16) u32 witness."""
+    w = jnp.zeros((n, NUM_LIMBS), jnp.uint32).at[:, 0].set(
+        limb0.astype(jnp.uint32)
+    )
+    return w.at[exc_idx].set(exc_vals.astype(jnp.uint32))
+
+
+def _witness_to_device(witness_limbs: np.ndarray) -> jnp.ndarray:
+    """Ship a witness over the (~90 MB/s) device tunnel compactly.
+
+    ~94% of keyless witness wires are bit-valued and nearly all the rest
+    fit 16 bits, so limb rows beyond limb 0 are overwhelmingly zero: send
+    limb 0 as u16 plus the exceptional full rows (index + 16 u16 limbs),
+    then assemble on device — ~5 MB instead of 44 MB (u16-dense) / 88 MB
+    (u32). Exceptional counts pad to a power of two so the assembly graph
+    ladder stays tiny; pad entries rewrite a real row with its own value.
+    Falls back to the dense u16 form for non-sparse witnesses.
+    """
+    wl = np.ascontiguousarray(witness_limbs)
+    n = wl.shape[0]
+    exc = np.flatnonzero(wl[:, 1:].any(axis=1)).astype(np.int32)
+    if exc.size > n // 4:
+        return jnp.asarray(wl.astype(np.uint16)).astype(jnp.uint32)
+    m = max(1, 1 << max(int(exc.size) - 1, 0).bit_length())
+    pad_idx = exc[-1] if exc.size else 0
+    exc_p = np.pad(exc, (0, m - exc.size), constant_values=pad_idx)
+    vals_p = wl[exc_p].astype(np.uint16)
+    return _assemble_witness(
+        jnp.asarray(wl[:, 0].astype(np.uint16)),
+        jnp.asarray(exc_p),
+        jnp.asarray(vals_p),
+        n=n,
+    )
 
 
 def _dedup_point_table(x: np.ndarray, y: np.ndarray, inf: np.ndarray):
@@ -145,7 +196,7 @@ def _dedup_point_table(x: np.ndarray, y: np.ndarray, inf: np.ndarray):
     bounds = np.searchsorted(seg, np.arange(n_unique + 1)).astype(np.int32)
     return (
         (x[first_idx], y[first_idx], inf[first_idx]),
-        (order, bounds[:-1], bounds[1:], int(n_unique)),
+        (order, bounds, int(n_unique)),
     )
 
 
@@ -180,8 +231,8 @@ class Groth16Prover:
         def dedup_dev(x, y, inf):
             (ux, uy, uinf), merge = _dedup_point_table(x, y, inf)
             if merge is not None:
-                order, s_pos, e_pos, nu = merge
-                merge = (dev(order), dev(s_pos), dev(e_pos), nu)
+                order, bounds, nu = merge
+                merge = (dev(order), dev(bounds), nu)
             return (dev(ux), dev(uy), dev(uinf)), merge
 
         self.points_a, self._merge_a = dedup_dev(
@@ -237,9 +288,7 @@ class Groth16Prover:
             bounds = np.searchsorted(dk, np.arange(d_lo, d_hi + 2)).astype(
                 np.int32
             )
-            self._coef_chunks.append(
-                (d_lo, dev(bounds[:-1]), dev(bounds[1:]))
-            )
+            self._coef_chunks.append((d_lo, dev(bounds)))
         # pre-scale Montgomery-stored coefs by R^2 (chunked): the reduction's
         # trailing REDC then lands values in the reference's raw-byte
         # representation.
@@ -273,9 +322,9 @@ class Groth16Prover:
         """
         if merge is None:
             return scalars
-        order, s_pos, e_pos, _ = merge
+        order, bounds, _ = merge
         vals = jf.to_mont(jnp.take(scalars, order, axis=0), FR)
-        return jf.sorted_segment_sum_mod(vals, s_pos, e_pos, FR)
+        return jf.sorted_segment_sum_mod(vals, bounds, FR)
 
     def _eval_ab(self, witness: jnp.ndarray) -> jnp.ndarray:
         """Coefficient-table evaluation: witness -> concatenated a|b vectors
@@ -284,9 +333,8 @@ class Groth16Prover:
             witness,
             self.coef_s,
             self.coef_val,
-            tuple(s for _, s, _e in self._coef_chunks),
-            tuple(e for _, _s, e in self._coef_chunks),
-            d_los=tuple(d for d, _s, _e in self._coef_chunks),
+            tuple(b for _, b in self._coef_chunks),
+            d_los=tuple(d for d, _ in self._coef_chunks),
             m2=2 * self.pk.domain_size,
         )
 
@@ -332,43 +380,42 @@ class Groth16Prover:
             return out
 
         pk = self.pk
-        # limb rows are 16-bit by construction: ship half the bytes over
-        # the (~90 MB/s) device tunnel and widen on device
-        w = _mark("to_device", jnp.asarray(
-            np.asarray(witness_limbs).astype(np.uint16)
-        ).astype(jnp.uint32))
+        w = _mark("to_device", _witness_to_device(witness_limbs))
         assert w.shape == (pk.n_vars, NUM_LIMBS)
 
         msm_a = _mark("msm_a", msm(
             *self.points_a,
             _mark("merge_a", self._merge_scalars(w, self._merge_a)),
-            curve=G1_CURVE, lanes=self.lanes))
+            curve=G1_CURVE, lanes=self.lanes, c=_SPARSE_C))
         msm_b1 = _mark("msm_b1", msm(
             *self.points_b1,
             _mark("merge_b1", self._merge_scalars(w, self._merge_b1)),
-            curve=G1_CURVE, lanes=self.lanes))
+            curve=G1_CURVE, lanes=self.lanes, c=_SPARSE_C))
         msm_b2 = _mark("msm_b2", msm(
             *self.points_b2,
             _mark("merge_b2", self._merge_scalars(w, self._merge_b2)),
-            curve=G2_CURVE, lanes=self.lanes))
+            curve=G2_CURVE, lanes=self.lanes, c=_SPARSE_C))
         # the public rows of the padded C table are infinity, so the full
         # witness is a valid scalar vector here
         msm_c = _mark("msm_c", msm(
             *self.points_c,
             _mark("merge_c", self._merge_scalars(w, self._merge_c)),
-            curve=G1_CURVE, lanes=self.lanes))
+            curve=G1_CURVE, lanes=self.lanes, c=_SPARSE_C))
         h = _mark("h_scalars", self._h_scalars(w))
         msm_h = _mark("msm_h", msm(
             *self.points_h,
             _mark("merge_h", self._merge_scalars(h, self._merge_h)),
             curve=G1_CURVE, lanes=self.lanes))
 
-        # decode the five MSM results to host affine points
-        a_pt = G1_CURVE.decode_jacobian(JacPoint(*jax.tree.map(lambda v: v[None], msm_a)))[0]
-        b1_pt = G1_CURVE.decode_jacobian(JacPoint(*jax.tree.map(lambda v: v[None], msm_b1)))[0]
+        # decode the five MSM results to host affine points: the four G1
+        # results in ONE batched call (each decode pays a device-tunnel
+        # round trip — five separate calls measured ~0.5 s of pure RTT)
+        g1_batch = JacPoint(*(
+            jnp.stack(coords)
+            for coords in zip(msm_a, msm_b1, msm_c, msm_h)
+        ))
+        a_pt, b1_pt, c_pt, h_pt = G1_CURVE.decode_jacobian(g1_batch)
         b2_pt = G2_CURVE.decode_jacobian(JacPoint(*jax.tree.map(lambda v: v[None], msm_b2)))[0]
-        c_pt = G1_CURVE.decode_jacobian(JacPoint(*jax.tree.map(lambda v: v[None], msm_c)))[0]
-        h_pt = G1_CURVE.decode_jacobian(JacPoint(*jax.tree.map(lambda v: v[None], msm_h)))[0]
         _mark("decode", w)
 
         # host tail: blinding and final point assembly (groth16.cpp:288-353)

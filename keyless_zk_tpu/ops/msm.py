@@ -281,6 +281,7 @@ def msm(
         )
         cap = min(max(V, p2(nnz)), p2(total))
         chunk = min(cap, _flat_chunk_entries(tag))
+        V = _clamp_scan_v(V, cap // chunk)
         fn = jax.jit(
             _ft.partial(
                 _msm_pippenger_fused.__wrapped__,
@@ -347,6 +348,7 @@ def msm_batch(
     nnz = int(aot_call(f"msm_nnzb_c{cw}", AOT_VERSION, nnz_fn, scalars))
     cap = min(max(V, p2(nnz)), p2(total))
     chunk = min(cap, _flat_chunk_entries(tag))
+    V = _clamp_scan_v(V, cap // chunk)
     fn = jax.jit(
         _ft.partial(
             _msm_pippenger_fused.__wrapped__,
@@ -369,6 +371,15 @@ def _count_nonzero_digits_batch(scalars: jnp.ndarray, *, c: int) -> jnp.ndarray:
     return jnp.sum((keys >= 1).astype(jnp.int32))
 
 
+def _clamp_scan_v(v: int, n_chunks: int) -> int:
+    """Cap lanes so the GLOBAL boundary sequence (2 * V * n_chunks) stays
+    within the merge kernel's VMEM: m2 = 131072 at V=16k x 4 chunks blew
+    the 128M scoped budget with 185M of register-allocator spill slots
+    (m2 = 65536 compiles and runs). Lower bound 4096 keeps the scan wide
+    enough to matter."""
+    return max(4096, min(v, (1 << 15) // max(n_chunks, 1)))
+
+
 def _default_scan_v(tag: str) -> int:
     """Scan-kernel lane count (KEYLESS_MSM_V / KEYLESS_MSM_V_FQ2 override).
 
@@ -378,7 +389,7 @@ def _default_scan_v(tag: str) -> int:
     env = os.environ.get(
         "KEYLESS_MSM_V_FQ2" if tag == "fq2" else "KEYLESS_MSM_V", "0"
     )
-    return int(env) or (8192 if tag == "fq" else 4096)
+    return int(env) or (16384 if tag == "fq" else 4096)
 
 
 def _flat_chunk_entries(tag: str) -> int:
@@ -514,6 +525,7 @@ def _msm_pippenger_fused(
         dig = jnp.take(kr_s.reshape(rows * n), src)
         fb_s = jnp.where(valid, jnp.clip(rw, 0, rows - 1) * NB_pad + dig, n_seg)
         pay_s = jnp.where(valid, jnp.take(pr_s.reshape(rows * n), src), n)
+        row_base = offs[:-1]
     else:
         # DENSE mode (caller saw nnz ~= rows*n, e.g. the H MSM's uniform
         # scalars): the row-sorted planes ARE the stream — no compaction
@@ -527,6 +539,7 @@ def _msm_pippenger_fused(
         if cap > rows * n:
             fb_s = jnp.pad(fb_s, (0, cap - rows * n), constant_values=n_seg)
             pay_s = jnp.pad(pay_s, (0, cap - rows * n), constant_values=n)
+        row_base = jax.lax.iota(jnp.int32, rows) * n
 
     # master point table with a sentinel infinity row at index n; x||y
     # packed point-major as u16 (limbs are 16-bit), so each stream entry
@@ -542,18 +555,22 @@ def _msm_pippenger_fused(
     # position p lives in chunk p//chunk, lane (p//L) % V, slab p % L —
     # p//L is a GLOBAL lane id (chunks stack in the lane direction), so
     # interior/span tests are uniform across chunk boundaries.
-    pos = jax.lax.iota(jnp.int32, cap)
-    ends = jax.ops.segment_max(
-        pos, fb_s, n_seg + 1, indices_are_sorted=True
-    )[:n_seg]
-    # starts from ends alone (saves the twin segment_min pass): the stream
-    # is sorted by bucket, so bucket k starts right after the last filled
-    # position of any earlier bucket (empty buckets contribute INT32_MIN
-    # to the running max and keep starts > ends — the "empty" signature)
-    prev = jnp.concatenate(
-        [jnp.full((1,), -1, jnp.int32), jax.lax.cummax(ends)[:-1]]
+    #
+    # Bucket (rw, d) lives only in row rw's stream span, so starts/ends
+    # come from a per-row dense bisect over the SORTED digit row: counts
+    # of digits <= d give ends, shifted by one query give starts — rows *
+    # NB_pad * log(n) cached gathers, vs a cap-length segment_max scatter
+    # that measured ~600 ms at the H MSM's 2^25 stream. Dense-mode
+    # sentinel tails (bucket (rw+1)*NB_pad) intentionally read as EMPTY
+    # here: their runs resolve through the boundary merge into a weight-0
+    # bucket as infinity sums, so exact geometry for them is irrelevant.
+    q1 = jax.lax.iota(jnp.int32, NB_pad) + 1
+    cnt = jax.vmap(lambda row: _searchsorted(row, q1))(kr_s)  # <= d counts
+    cnt_prev = jnp.concatenate(
+        [jnp.zeros((rows, 1), jnp.int32), cnt[:, :-1]], axis=1
     )
-    starts = jnp.maximum(prev, -1) + 1
+    starts = (row_base[:, None] + cnt_prev).reshape(n_seg)
+    ends = (row_base[:, None] + cnt - 1).reshape(n_seg)
     interior = (
         (ends >= starts)
         & (starts // L == ends // L)

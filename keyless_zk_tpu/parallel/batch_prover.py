@@ -122,7 +122,7 @@ class BatchProver:
         B = len(witnesses)
         w = jnp.asarray(np.stack(witnesses))  # (B, nVars, 16)
 
-        def one_msm(table, merge, curve, scalars=None):
+        def one_msm(table, merge, curve, scalars=None, c=None):
             # merge duplicate-row scalars per witness (the deduped tables
             # hold n_unique rows; feeding raw n_vars scalars would silently
             # clip the out-of-range gathers — groth16/prover.py:70-105),
@@ -131,14 +131,16 @@ class BatchProver:
             merged = jnp.stack(
                 [Groth16Prover._merge_scalars(src[i], merge) for i in range(B)]
             )
-            pt = msm_batch(*table, merged, curve=curve)
+            pt = msm_batch(*table, merged, curve=curve, c=c)
             return pt.x, pt.y, pt.z
 
+        from ..groth16.prover import _SPARSE_C
+
         p = self.prover
-        msm_a = one_msm(p.points_a, p._merge_a, G1_CURVE)
-        msm_b1 = one_msm(p.points_b1, p._merge_b1, G1_CURVE)
-        msm_b2 = one_msm(p.points_b2, p._merge_b2, G2_CURVE)
-        msm_c = one_msm(p.points_c, p._merge_c, G1_CURVE)
+        msm_a = one_msm(p.points_a, p._merge_a, G1_CURVE, c=_SPARSE_C)
+        msm_b1 = one_msm(p.points_b1, p._merge_b1, G1_CURVE, c=_SPARSE_C)
+        msm_b2 = one_msm(p.points_b2, p._merge_b2, G2_CURVE, c=_SPARSE_C)
+        msm_c = one_msm(p.points_c, p._merge_c, G1_CURVE, c=_SPARSE_C)
         # the h pipeline reuses the single-prover compiled graphs per
         # element (async dispatch overlaps them); vmap would force separate
         # batched compiles of the NTT kernels for every batch size

@@ -61,16 +61,16 @@ def test_dedup_merge_msm_equivalence():
 
     (ux, uy, uinf), merge = _dedup_point_table(x, y, inf)
     assert merge is not None
-    order, s_pos, e_pos, nu = merge
+    order, bounds, nu = merge
     assert nu < n
     # boundaries partition [0, n): each unique row owns one sorted run
-    assert s_pos[0] == 0 and e_pos[-1] == n
-    assert np.array_equal(s_pos[1:], e_pos[:-1])
-    assert (e_pos > s_pos).all()
+    assert bounds[0] == 0 and bounds[-1] == n
+    assert bounds.shape == (nu + 1,)
+    assert (np.diff(bounds) > 0).all()
 
     merged = Groth16Prover._merge_scalars(
         jnp.asarray(scalars),
-        (jnp.asarray(order), jnp.asarray(s_pos), jnp.asarray(e_pos), nu),
+        (jnp.asarray(order), jnp.asarray(bounds), nu),
     )
     got = _host_msm(ux, uy, uinf, np.asarray(merged))
     want = _host_msm(x, y, inf, scalars)
@@ -91,8 +91,7 @@ def test_merge_scalars_reduces_mod_r():
         jnp.asarray(scalars),
         (
             jnp.arange(3, dtype=np.int32),
-            jnp.zeros(1, np.int32),
-            jnp.full((1,), 3, np.int32),
+            jnp.asarray([0, 3], np.int32),
             1,
         ),
     )
